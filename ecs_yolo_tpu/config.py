@@ -1,0 +1,59 @@
+"""Global spiking-neuron configuration.
+
+TPU-native re-design of the reference globals (reference: models/common.py:37-40
+``thresh=0.5, lens=0.5, decay=0.25, time_window=4``).  Instead of module-level
+mutable globals, the framework threads an immutable :class:`SNNConfig` through
+model construction, so two models with different T (the reference has T=4 in
+models/yolo_snn.py:31 and T=8 in models/yolo.py:42) can coexist in one process.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SNNConfig:
+    """Spiking neuron hyper-parameters.
+
+    Attributes:
+      thresh: firing threshold of the Heaviside spike function.
+      lens: half-width of the rectangular surrogate-gradient window.
+      decay: membrane leak factor applied between timesteps.
+      time_window: number of timesteps T every feature map carries.
+      ecs: enable the ECS-LIF extracellular field (reference
+        models/common.py:236-309 applies it unconditionally in ``mem_update``;
+        plain-LIF variant lives in models/common2.py:75-106).
+      alpha: ECS spread gain.
+      beta: ECS feedback gain (through tanh).
+      ecs_tau: ECS field time constant.
+    """
+
+    thresh: float = 0.5
+    lens: float = 0.5
+    decay: float = 0.25
+    time_window: int = 4
+    ecs: bool = True
+    alpha: float = 0.75
+    beta: float = 0.25
+    ecs_tau: float = 5.0
+
+    def replace(self, **kw: Any) -> "SNNConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_SNN = SNNConfig()
+
+# Compute dtype policy: params live in float32, compute runs in bfloat16 on
+# TPU by default (reference used CUDA AMP fp16; bf16 needs no loss scaling).
+DEFAULT_COMPUTE_DTYPE = jnp.float32  # flipped to bfloat16 by trainer/bench
+
+
+def autopad(k, p=None):
+    """'same' padding from kernel size (reference models/common.py:47-52)."""
+    if p is None:
+        p = k // 2 if isinstance(k, int) else [x // 2 for x in k]
+    return p

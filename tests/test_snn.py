@@ -1,0 +1,200 @@
+"""Unit tests for the spiking core against independent numpy goldens."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ecs_yolo_tpu.config import SNNConfig
+from ecs_yolo_tpu.snn import (
+    heaviside,
+    lif_scan,
+    ecs_lif_scan,
+    lif_node_scan,
+    firing_rate,
+)
+
+CFG = SNNConfig()
+
+
+def np_silu(x):
+    return x / (1.0 + np.exp(-x))
+
+
+def np_lif(x, cfg, act=False):
+    """Straightforward numpy transcription of the LIF recurrence."""
+    T = x.shape[0]
+    mem = np.zeros_like(x[0])
+    spike = np.zeros_like(x[0])
+    out = np.zeros_like(x)
+    for i in range(T):
+        mem = mem * cfg.decay * (1.0 - spike) + x[i]
+        spike = np_silu(mem) if act else (mem > cfg.thresh).astype(x.dtype)
+        out[i] = spike
+    return out
+
+
+def np_ecs_lif(x, dw, dwb, pw, pwb, cfg, act=False):
+    """Numpy golden for ECS-LIF with a dense conv implementation."""
+    T, N, H, W, C = x.shape
+    mem = np.zeros_like(x[0])
+    spike = np.zeros_like(x[0])
+    ecs = np.zeros_like(x[0])
+    fecs = np.zeros_like(x[0])
+    out = np.zeros_like(x)
+
+    def spread(s):
+        # depthwise 3x3 (same padding) then pointwise 1x1, both with bias
+        pad = np.pad(s, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        d = np.zeros_like(s)
+        for ky in range(3):
+            for kx in range(3):
+                d += pad[:, ky : ky + H, kx : kx + W, :] * dw[ky, kx, 0, :]
+        d = d + dwb
+        p = np.einsum("nhwc,cd->nhwd", d, pw[0, 0]) + pwb
+        return p
+
+    for i in range(T):
+        mem = mem * cfg.decay * (1.0 - spike) + x[i] + fecs
+        spike = np_silu(mem) if act else (mem > cfg.thresh).astype(x.dtype)
+        ecs = cfg.alpha * spread(spike) + (1.0 - 1.0 / cfg.ecs_tau) * ecs
+        fecs = cfg.beta * np.tanh(ecs)
+        out[i] = spike
+    return out
+
+
+class TestHeaviside:
+    def test_forward(self):
+        u = jnp.array([-1.0, 0.0, 0.4999, 0.5, 0.5001, 2.0])
+        s = heaviside(u, 0.5, 0.5)
+        np.testing.assert_array_equal(np.asarray(s), [0, 0, 0, 0, 1, 1])
+
+    def test_surrogate_gradient_window(self):
+        # d/du heaviside = 1/(2*lens) inside |u-thresh|<lens, else 0
+        g = jax.grad(lambda u: heaviside(u, 0.5, 0.5).sum())(
+            jnp.array([-0.1, 0.0, 0.5, 0.9, 1.1])
+        )
+        np.testing.assert_allclose(np.asarray(g), [0, 0, 1.0, 1.0, 0], atol=1e-6)
+
+    def test_custom_lens(self):
+        g = jax.grad(lambda u: heaviside(u, 0.0, 0.25).sum())(jnp.array([0.1]))
+        np.testing.assert_allclose(np.asarray(g), [2.0], atol=1e-6)
+
+
+class TestLIF:
+    def test_matches_numpy(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(4, 2, 3, 3, 5).astype(np.float32)
+        got = np.asarray(lif_scan(jnp.asarray(x), CFG))
+        want = np_lif(x, CFG)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_silu_mode(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(4, 2, 8).astype(np.float32)
+        got = np.asarray(lif_scan(jnp.asarray(x), CFG, act=True))
+        want = np_lif(x, CFG, act=True)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_reset_gradient_is_stopped(self):
+        # The reset term uses stop_grad(spike): gradient w.r.t. x through the
+        # reset gate must vanish.  With all potentials far from threshold the
+        # surrogate window is closed, so grads flow only through mem->x paths.
+        x = jnp.full((3, 1, 4), 10.0)  # way above threshold, window closed
+
+        def f(x):
+            return lif_scan(x, CFG).sum()
+
+        g = jax.grad(f)(x)
+        np.testing.assert_allclose(np.asarray(g), np.zeros_like(x), atol=1e-6)
+
+    def test_grad_flows_inside_window(self):
+        x = jnp.full((2, 1, 4), 0.4)  # inside surrogate window
+
+        def f(x):
+            return lif_scan(x, CFG).sum()
+
+        g = jax.grad(f)(x)
+        assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestECSLIF:
+    def test_matches_numpy(self):
+        rng = np.random.RandomState(2)
+        T, N, H, W, C = 4, 2, 5, 5, 3
+        x = rng.randn(T, N, H, W, C).astype(np.float32) * 0.7
+        dw = rng.randn(3, 3, 1, C).astype(np.float32) * 0.2
+        dwb = rng.randn(C).astype(np.float32) * 0.1
+        pw = rng.randn(1, 1, C, C).astype(np.float32) * 0.2
+        pwb = rng.randn(C).astype(np.float32) * 0.1
+
+        def spread(s):
+            d = jax.lax.conv_general_dilated(
+                s,
+                jnp.asarray(dw),
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C,
+            ) + dwb
+            p = jax.lax.conv_general_dilated(
+                d,
+                jnp.asarray(pw),
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + pwb
+            return p
+
+        # SiLU mode: continuous output -> tight elementwise check of the
+        # full recurrence (membrane, reset, ECS field, spread conv wiring).
+        got = np.asarray(ecs_lif_scan(jnp.asarray(x), spread, CFG, act=True))
+        want = np_ecs_lif(x, dw, dwb, pw, pwb, CFG, act=True)
+        np.testing.assert_allclose(got, want, atol=5e-4)
+
+        # Spiking mode: heaviside flips on ~1e-7 conv-order differences right
+        # at the threshold, so allow a small fraction of boundary mismatches.
+        got_s = np.asarray(ecs_lif_scan(jnp.asarray(x), spread, CFG))
+        want_s = np_ecs_lif(x, dw, dwb, pw, pwb, CFG)
+        assert np.mean(got_s != want_s) < 0.02
+
+    def test_first_step_has_no_field(self):
+        # fecs_0 == 0 -> first step must equal plain threshold of x[0]
+        x = jnp.asarray(np.random.RandomState(3).randn(1, 2, 4, 4, 2)).astype(
+            jnp.float32
+        )
+
+        def spread(s):
+            return s * 100.0  # big field, must not affect step 0
+
+        out = ecs_lif_scan(x, spread, CFG)
+        np.testing.assert_array_equal(
+            np.asarray(out[0]), np.asarray(x[0] > CFG.thresh).astype(np.float32)
+        )
+
+
+class TestLIFNode:
+    def test_matches_numpy(self):
+        rng = np.random.RandomState(4)
+        x = rng.randn(5, 2, 6).astype(np.float32)
+        tau, v_th = 0.25, 0.1
+        u = np.zeros_like(x[0])
+        spike = np.zeros_like(x[0])
+        want = np.zeros_like(x)
+        for i in range(5):
+            u = tau * u * (1 - spike) + x[i]
+            spike = ((u - v_th) > CFG.thresh).astype(np.float32)
+            want[i] = spike
+        got = np.asarray(lif_node_scan(jnp.asarray(x), tau, v_th, CFG))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_firing_rate():
+    s = jnp.asarray([[0.0, 1.0], [1.0, 1.0]])
+    assert float(firing_rate(s)) == pytest.approx(0.75)
+
+
+def test_scan_jits_and_vmaps():
+    x = jnp.zeros((4, 2, 8))
+    out = jax.jit(lambda x: lif_scan(x, CFG))(x)
+    assert out.shape == x.shape
