@@ -1,0 +1,429 @@
+"""Model assembly: YAML -> flax module graph.
+
+Re-design of the reference's ``parse_model`` + ``Model``
+(reference models/yolo.py:167-553, models/yolo_snn.py:622-950) with:
+
+* a safe block registry instead of ``eval()`` of YAML strings,
+* stride probing via ``jax.eval_shape`` (abstract — no real forward),
+* one assembler covering both generations (anchor-based ``Detect`` and
+  anchor-free ``DDetect``/``DualDDetect``/``v10Detect`` heads),
+* first-class event-mode input: a 5-D ``[N,T,H,W,C]`` batch is transposed to
+  ``[T,N,...]``; a 4-D static image is replicated T times (the reference
+  needs a manual file swap for this, README.md:42, SURVEY §3.4).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import yaml
+
+from ..config import SNNConfig, DEFAULT_SNN
+from ..nn import blocks as B
+from ..nn import heads as H
+
+YAML_DIR = Path(__file__).parent / "yaml"
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+# blocks whose first YAML arg is the output-channel count (width-scaled)
+C2_BLOCKS = {
+    "Conv": B.Conv,
+    "Conv_A": B.Conv_A,
+    "Conv_B": B.Conv_B,
+    "Conv_1": B.Conv_1,
+    "Conv_2": B.Conv_2,
+    "Conv_3": B.Conv_3,
+    "Conv_4": B.Conv_4,
+    "Conv_5": B.Conv_5,
+    "Conv_6": B.Conv_6,
+    "BasicBlock": B.BasicBlock,
+    "BasicBlock_1": B.BasicBlock_1,
+    "BasicBlock_2": B.BasicBlock_2,
+    "Concat_res2": B.Concat_res2,
+    "shortcut": B.Shortcut,
+    "DepthWiseConv": B.DepthWiseConv,
+}
+
+# blocks that keep the input channel count; args passed through verbatim
+PASS_BLOCKS = {
+    "Sample": B.Sample,
+    "Pools": B.Pools,
+    "zeropad": B.ZeroPad,
+    "mem_update": B.MemUpdate,
+    "Conv_7": B.Conv_7,
+}
+
+HEADS = {
+    "Detect": H.Detect,
+    "DDetect": H.DDetect,
+    "DualDDetect": H.DualDDetect,
+    "v10Detect": H.v10Detect,
+}
+
+SNN_AWARE = set(C2_BLOCKS) | {"mem_update", "Conv_7"} | set(HEADS)
+
+
+def make_divisible(x, divisor: int = 8):
+    return math.ceil(x / divisor) * divisor
+
+
+def _freeze(v):
+    """Deep-convert lists to tuples so specs are hashable linen fields."""
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
+def _resolve_arg(a, d):
+    """Safe replacement for the reference's eval() of YAML arg strings."""
+    if isinstance(a, str):
+        if a == "nc":
+            return d["nc"]
+        if a == "anchors":
+            return d.get("anchors")
+        if a == "None":
+            return None
+    return a
+
+
+# ---------------------------------------------------------------------------
+# parse
+# ---------------------------------------------------------------------------
+
+
+def parse_model(
+    d: Dict[str, Any], ch: int
+) -> Tuple[Tuple, Tuple[int, ...], List[int], Dict[str, Any]]:
+    """Parse a model YAML dict into an immutable layer spec.
+
+    Returns (spec, save, ch_list, head_info).  spec rows are
+    ``(f, n, name, args)`` with ``args`` fully resolved except head
+    strides/anchors, which are finalized by :func:`build_model` after the
+    stride probe.
+    """
+    anchors, nc = d.get("anchors"), d["nc"]
+    gd, gw = d.get("depth_multiple", 1.0), d.get("width_multiple", 1.0)
+    na = (len(anchors[0]) // 2) if isinstance(anchors, list) else (anchors or 0)
+    no = na * (nc + 5)
+
+    rows = []
+    save: List[int] = []
+    chs = [ch]
+    head_info: Dict[str, Any] = {}
+    for i, (f, n, name, args) in enumerate(d["backbone"] + d["head"]):
+        args = [_resolve_arg(a, d) for a in args]
+        n = max(round(n * gd), 1) if n > 1 else n
+
+        if name in C2_BLOCKS:
+            c1 = chs[f if isinstance(f, int) else f[0]]
+            c2 = args[0]
+            if c2 != no:
+                c2 = make_divisible(c2 * gw, 8)
+            args = [c2, *args[1:]]
+        elif name == "Concat":
+            c2 = sum(chs[x] for x in f)
+        elif name in HEADS:
+            c2 = chs[f if isinstance(f, int) else f[0]]
+            head_info = {"name": name, "f": f, "index": i, "nc": args[0]}
+            if name == "Detect":
+                a = args[1]
+                if isinstance(a, int):  # e.g. `anchors: 2` anchor-free count
+                    a = [list(range(a * 2))] * len(f)
+                head_info["anchors_px"] = a
+        elif name in PASS_BLOCKS:
+            c2 = chs[f if isinstance(f, int) else f[0]]
+        else:
+            raise KeyError(
+                f"unknown block {name!r} at layer {i}; add it to the registry"
+            )
+
+        rows.append((_freeze(f), n, name, _freeze(args)))
+        save.extend(
+            x % i for x in ([f] if isinstance(f, int) else f) if x != -1
+        )
+        if i == 0:
+            chs = []
+        chs.append(c2)
+    return tuple(rows), tuple(sorted(set(save))), chs, head_info
+
+
+# ---------------------------------------------------------------------------
+# module construction
+# ---------------------------------------------------------------------------
+
+
+class _Repeat(nn.Module):
+    """n sequential copies of a block (reference nn.Sequential repeat)."""
+
+    name_: str
+    args: Tuple
+    n: int
+    snn: SNNConfig
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        for j in range(self.n):
+            x = _construct(self.name_, self.args, self.snn, mod_name=str(j))(
+                x, training=training
+            )
+        return x
+
+
+def _construct(name: str, args: Tuple, snn: SNNConfig, mod_name=None):
+    cls = C2_BLOCKS.get(name) or PASS_BLOCKS.get(name) or HEADS.get(name)
+    kwargs = {}
+    if name in SNN_AWARE:
+        kwargs["snn"] = snn
+    if mod_name is not None:
+        kwargs["name"] = mod_name
+    return cls(*args, **kwargs)
+
+
+def _make_layer(row, snn: SNNConfig):
+    f, n, name, args = row
+    if name == "Concat":
+        return B.Concat()
+    if n > 1:
+        return _Repeat(name_=name, args=args, n=n, snn=snn)
+    return _construct(name, args, snn)
+
+
+# ---------------------------------------------------------------------------
+# the model
+# ---------------------------------------------------------------------------
+
+
+class DetectionModel(nn.Module):
+    """Graph-walking detection model (reference `Model._forward_once`,
+    models/yolo.py:284-312), built from an immutable parsed spec."""
+
+    spec: Tuple
+    save: Tuple[int, ...]
+    snn: SNNConfig = DEFAULT_SNN
+
+    def setup(self):
+        self.layers = [_make_layer(row, self.snn) for row in self.spec]
+
+    def prepare_input(self, x: jax.Array) -> jax.Array:
+        """Static image [N,H,W,C] -> replicate T times; event batch
+        [N,T,H,W,C] -> [T,N,H,W,C] (first-class event mode)."""
+        if x.ndim == 4:
+            t = self.snn.time_window
+            return jnp.broadcast_to(x[None], (t,) + x.shape)
+        if x.ndim == 5:
+            return jnp.transpose(x, (1, 0, 2, 3, 4))
+        raise ValueError(f"expected 4-D or 5-D input, got {x.shape}")
+
+    def __call__(self, x: jax.Array, training: bool = False):
+        x = self.prepare_input(x)
+        cache: Dict[int, jax.Array] = {}
+        for i, (row, layer) in enumerate(zip(self.spec, self.layers)):
+            f = row[0]
+            if f != -1:
+                if isinstance(f, int):
+                    x = cache[f % i]
+                else:
+                    x = [x if j == -1 else cache[j % i] for j in f]
+            x = layer(x, training=training)
+            if i in self.save:
+                cache[i] = x
+        return x
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+
+def load_cfg(cfg: Union[str, Path, Dict]) -> Dict:
+    if isinstance(cfg, dict):
+        return dict(cfg)
+    p = Path(cfg)
+    if not p.exists():
+        p = YAML_DIR / Path(cfg).name
+    with open(p) as fh:
+        return yaml.safe_load(fh)
+
+
+def _head_feat_shapes(out, head_name: str):
+    """Extract per-level spatial shapes from the head's training output."""
+    if head_name == "Detect":
+        return [(f.shape[2], f.shape[3]) for f in out]  # [N,na,ny,nx,no]
+    if head_name == "DDetect":
+        return [(f.shape[2], f.shape[3]) for f in out]  # [N,no,h,w]
+    if head_name == "DualDDetect":
+        return [(f.shape[2], f.shape[3]) for f in out[1]]
+    if head_name == "v10Detect":
+        return [(f.shape[2], f.shape[3]) for f in out.one2many]
+    raise KeyError(head_name)
+
+
+def check_anchor_order(anchors: List[List[float]], strides: Sequence[float]):
+    """Reverse anchors if their area order disagrees with the stride order
+    (reference utils/autoanchor.py:18-25)."""
+    areas = [sum(a[i] * a[i + 1] for i in range(0, len(a), 2)) for a in anchors]
+    da = areas[-1] - areas[0]
+    ds = strides[-1] - strides[0]
+    if (da < 0) != (ds < 0) and da != 0:
+        return anchors[::-1]
+    return anchors
+
+
+class BuiltModel:
+    """A built model: the flax module plus its static metadata."""
+
+    def __init__(self, module, cfg, spec, save, head_info, strides, snn):
+        self.module = module
+        self.cfg = cfg
+        self.spec = spec
+        self.save = save
+        self.head = head_info
+        self.strides = strides
+        self.snn = snn
+        self.nc = head_info.get("nc", cfg.get("nc"))
+
+    @property
+    def head_name(self):
+        return self.head["name"]
+
+    def init(self, key, imgsz: int = 640, ch: int = 3, batch: int = 1):
+        x = jnp.zeros((batch, imgsz, imgsz, ch), jnp.float32)
+        variables = self.module.init(key, x, training=True)
+        return init_head_biases(self, variables)
+
+    def apply(self, variables, x, training=False, **kw):
+        return self.module.apply(variables, x, training=training, **kw)
+
+
+def build_model(
+    cfg: Union[str, Path, Dict],
+    ch: int = 3,
+    nc: Optional[int] = None,
+    anchors=None,
+    snn: Optional[SNNConfig] = None,
+    probe: int = 256,
+) -> BuiltModel:
+    """Two-phase build: parse -> abstract stride probe -> final module."""
+    d = load_cfg(cfg)
+    if nc is not None:
+        d["nc"] = nc
+    if anchors is not None:
+        d["anchors"] = anchors
+    snn = snn or DEFAULT_SNN
+
+    spec, save, chs, head_info = parse_model(d, ch)
+    if not head_info:
+        raise ValueError("model YAML has no detection head")
+    hname, hidx = head_info["name"], head_info["index"]
+
+    # phase 1: placeholder strides for the abstract probe
+    probe_spec = _with_head_args(spec, hidx, hname, head_info, strides=None, probe=True)
+    probe_model = DetectionModel(spec=probe_spec, save=save, snn=snn)
+    key = jax.random.PRNGKey(0)
+
+    def _probe():
+        x = jnp.zeros((1, probe, probe, ch), jnp.float32)
+        out, _ = probe_model.init_with_output(key, x, training=True)
+        return out
+
+    out_shapes = jax.eval_shape(_probe)
+    shapes = _head_feat_shapes(out_shapes, hname)
+    strides = tuple(float(probe // h) for h, _ in shapes)
+    head_info["strides"] = strides
+
+    # phase 2: final spec with real strides (+ grid-unit anchors for v1)
+    final_spec = _with_head_args(spec, hidx, hname, head_info, strides=strides)
+    model = DetectionModel(spec=final_spec, save=save, snn=snn)
+    return BuiltModel(model, d, final_spec, save, head_info, strides, snn)
+
+
+def _with_head_args(spec, hidx, hname, head_info, strides, probe=False):
+    rows = list(spec)
+    f, n, name, _ = rows[hidx]
+    nc = head_info["nc"]
+    nl = len(f) if isinstance(f, tuple) else 1
+    if strides is None:
+        strides = tuple(float(2 ** (3 + i)) for i in range(nl))  # placeholder
+    if hname == "Detect":
+        a_px = head_info["anchors_px"]
+        a_grid = [
+            [v / s for v in level] for level, s in zip(a_px, strides)
+        ]
+        if not probe:
+            a_grid = check_anchor_order(a_grid, strides)
+        head_info["anchors_grid"] = a_grid
+        args = (nc, _freeze(a_grid), tuple(strides))
+    else:
+        # anchor-free heads: (nc, reg_max, strides)
+        args = (nc, 16, tuple(strides))
+    rows[hidx] = (f, n, name, args)
+    return tuple(rows)
+
+
+# ---------------------------------------------------------------------------
+# head bias init (post-init param surgery)
+# ---------------------------------------------------------------------------
+
+
+def _layer_param_name(model: BuiltModel) -> str:
+    return f"layers_{model.head['index']}"
+
+
+def init_head_biases(model: BuiltModel, variables, imgsz: int = 640):
+    """Focal-style prior bias init.
+
+    v1 (reference models/yolo.py:363-371): per level, obj bias += log(8/(640/s)^2),
+    cls biases += log(0.6/(nc-0.999999)).
+    DFL heads (reference models/yolo_snn.py:133-139): box tower bias = 1.0,
+    cls tower bias[:nc] = log(5 / nc / (640/s)^2).
+    """
+    import flax
+
+    params = flax.core.unfreeze(variables["params"]) if hasattr(
+        variables["params"], "unfreeze"
+    ) else dict(variables["params"])
+    lname = _layer_param_name(model)
+    head = params.get(lname)
+    if head is None:
+        return variables
+    nc = model.nc
+    hname = model.head_name
+
+    if hname == "Detect":
+        na = len(model.head["anchors_grid"][0]) // 2
+        no = nc + 5
+        for i, s in enumerate(model.strides):
+            bias = head[f"m{i}"]["conv"]["bias"]
+            b = bias.reshape(na, no)
+            b = b.at[:, 4].add(math.log(8 / (640 / s) ** 2))
+            b = b.at[:, 5:].add(math.log(0.6 / (nc - 0.999999)))
+            head[f"m{i}"]["conv"]["bias"] = b.reshape(-1)
+    elif hname in ("DDetect", "DualDDetect", "v10Detect"):
+        prefixes = {
+            "DDetect": [("cv2_", "cv3_")],
+            "DualDDetect": [("a_cv2_", "a_cv3_"), ("b_cv2_", "b_cv3_")],
+            "v10Detect": [("cv2_", "cv3_"), ("one2one_cv2_", "one2one_cv3_")],
+        }[hname]
+        for box_p, cls_p in prefixes:
+            for i, s in enumerate(model.strides):
+                bkey, ckey = f"{box_p}{i}", f"{cls_p}{i}"
+                if bkey not in head:
+                    continue
+                bb = head[bkey]["2"]["conv"]["bias"]
+                head[bkey]["2"]["conv"]["bias"] = jnp.ones_like(bb)
+                cb = head[ckey]["2"]["conv"]["bias"]
+                val = math.log(5 / nc / (640 / s) ** 2)
+                head[ckey]["2"]["conv"]["bias"] = cb.at[:nc].set(val)
+
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    return new_vars

@@ -1,0 +1,560 @@
+"""Spiking layer/block library (flax.linen), channels-last, T-folded convs.
+
+TPU-first re-design of the reference block set (reference: models/common.py).
+Tensors are ``[T, N, H, W, C]``.  Every convolution / norm / pool folds the
+time axis into the batch (``[T*N, H, W, C]``) and runs ONCE — the reference
+instead loops Python ``for i in range(time_window)`` around cuDNN calls
+(models/common.py:621-624), which is the throughput bottleneck this design
+removes.  Only the membrane recurrence (`snn.neuron`) scans over T.
+
+Block names mirror the reference classes 1:1 so the YAML model zoo parses
+unchanged (Conv_1, BasicBlock_2, Concat_res2, Sample, ...).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import SNNConfig, DEFAULT_SNN, autopad
+from ..snn.neuron import ecs_lif_scan, lif_scan
+from .initializers import torch_conv_kernel_init, make_bias_init
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def fold_t(x: jax.Array) -> Tuple[jax.Array, int]:
+    """[T,N,H,W,C] -> [T*N,H,W,C]."""
+    t = x.shape[0]
+    return x.reshape((t * x.shape[1],) + x.shape[2:]), t
+
+
+def unfold_t(x: jax.Array, t: int) -> jax.Array:
+    return x.reshape((t, x.shape[0] // t) + x.shape[1:])
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class SnnConv(nn.Module):
+    """Conv2d over [T,N,H,W,C] with T folded into batch.
+
+    Equivalent of the reference ``Snn_Conv2d`` (models/common.py:593-624)
+    minus its per-timestep Python loop.
+    """
+
+    c2: int
+    k: Union[int, Tuple[int, int]] = 1
+    s: Union[int, Tuple[int, int]] = 1
+    p: Optional[Union[int, Tuple[int, int]]] = None
+    g: int = 1
+    use_bias: bool = False
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = _pair(self.k)
+        p = autopad(self.k, self.p)
+        p = _pair(p)
+        pad = [(p[0], p[0]), (p[1], p[1])]
+        fan_in = (x.shape[-1] // self.g) * k[0] * k[1]
+        conv = nn.Conv(
+            features=self.c2,
+            kernel_size=k,
+            strides=_pair(self.s),
+            padding=pad,
+            feature_group_count=self.g,
+            use_bias=self.use_bias,
+            kernel_dilation=_pair(self.dilation),
+            kernel_init=torch_conv_kernel_init,
+            bias_init=make_bias_init(fan_in),
+            name="conv",
+        )
+        if x.ndim == 5:
+            y, t = fold_t(x)
+            return unfold_t(conv(y), t)
+        return conv(x)
+
+
+class TBatchNorm(nn.Module):
+    """Spatio-temporal BN: statistics over (N, T, H, W) per channel.
+
+    Matches the reference's ``batch_norm_2d``/``batch_norm_2d1`` wrapping a
+    BatchNorm3d (models/common.py:668-758).  ``gamma_scale=1.0`` initializes
+    gamma to `thresh` (BatchNorm3d1), ``0.2`` to `0.2*thresh` (BatchNorm3d2)
+    — the threshold-dependent BN of the EMS-YOLO paper.
+    """
+
+    gamma_scale: float = 1.0
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        gamma0 = self.gamma_scale * self.snn.thresh
+        bn = nn.BatchNorm(
+            use_running_average=not training,
+            momentum=0.9,
+            epsilon=1e-5,
+            scale_init=nn.initializers.constant(gamma0),
+            bias_init=nn.initializers.zeros,
+            name="bn",
+        )
+        if x.ndim == 5:
+            y, t = fold_t(x)
+            return unfold_t(bn(y), t)
+        return bn(x)
+
+
+class MemUpdate(nn.Module):
+    """The neuron activation (reference ``mem_update``, models/common.py:236).
+
+    Owns the ECS spread parameters (depthwise 3x3 + pointwise 1x1, both with
+    bias — reference ``InitEcsSpread`` models/common.py:285-303) and runs the
+    ECS-LIF scan over T.  ``act=True`` replaces the Heaviside with SiLU.
+    """
+
+    act: bool = False
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        if not self.snn.ecs:
+            return lif_scan(x, self.snn, act=self.act)
+
+        c = x.shape[-1]
+        dw_fan_in = 9  # depthwise: fan_in = k*k * (C/groups=1)
+        pw_fan_in = c
+        dw_kernel = self.param(
+            "spread_dw_kernel", torch_conv_kernel_init, (3, 3, 1, c)
+        )
+        dw_bias = self.param("spread_dw_bias", make_bias_init(dw_fan_in), (c,))
+        pw_kernel = self.param(
+            "spread_pw_kernel", torch_conv_kernel_init, (1, 1, c, c)
+        )
+        pw_bias = self.param("spread_pw_bias", make_bias_init(pw_fan_in), (c,))
+        dtype = x.dtype
+
+        def spread(s: jax.Array) -> jax.Array:
+            d = (
+                jax.lax.conv_general_dilated(
+                    s,
+                    dw_kernel.astype(dtype),
+                    window_strides=(1, 1),
+                    padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=c,
+                )
+                + dw_bias.astype(dtype)
+            )
+            return (
+                jax.lax.conv_general_dilated(
+                    d,
+                    pw_kernel.astype(dtype),
+                    window_strides=(1, 1),
+                    padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                + pw_bias.astype(dtype)
+            )
+
+        spikes = ecs_lif_scan(x, spread, self.snn, act=self.act)
+        if not self.act:
+            self.sow("spike_stats", "firing_rate", jnp.mean(spikes))
+        return spikes
+
+
+class Pools(nn.Module):
+    """Per-timestep MaxPool2d (reference models/common.py:810-826)."""
+
+    k: int
+    s: int
+    p: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        y, t = fold_t(x)
+        y = nn.max_pool(
+            y,
+            window_shape=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(self.p, self.p), (self.p, self.p)],
+        )
+        return unfold_t(y, t)
+
+
+def max_pool_t(x: jax.Array, s: int) -> jax.Array:
+    """MaxPool3d((1,s,s), stride=(1,s,s)) on [T,N,H,W,C] — the EMS shortcut
+    downsampler (reference models/common.py:1068, 1211, 1486)."""
+    if s == 1:
+        return x
+    y, t = fold_t(x)
+    y = nn.max_pool(y, window_shape=(s, s), strides=(s, s))
+    return unfold_t(y, t)
+
+
+class ZeroPad(nn.Module):
+    """Per-timestep ZeroPad2d (reference ``zeropad``)."""
+
+    padding: Tuple[int, int, int, int]  # (left, right, top, bottom)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        l, r, t_, b = self.padding
+        return jnp.pad(x, ((0, 0), (0, 0), (t_, b), (l, r), (0, 0)))
+
+
+class Sample(nn.Module):
+    """Nearest-neighbor upsample per timestep (reference models/common.py:844).
+
+    YAML args: [size, scale_factor, mode].
+    """
+
+    size: Optional[int] = None
+    scale_factor: int = 2
+    mode: str = "nearest"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        f = int(self.scale_factor)
+        x = jnp.repeat(x, f, axis=-3)
+        x = jnp.repeat(x, f, axis=-2)
+        return x
+
+
+class Concat(nn.Module):
+    """Concatenate along channels (reference dim=2 of [T,N,C,H,W] -> our -1)."""
+
+    dimension: int = 2
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], training: bool = False):
+        return jnp.concatenate(xs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# conv composites (reference models/common.py:352-590)
+# ---------------------------------------------------------------------------
+
+
+class Conv(nn.Module):
+    """conv -> BN -> mem_update(act=True)  (reference Conv, :362-375)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = SnnConv(self.c2, self.k, self.s, self.p, self.g, name="conv")(x)
+        y = TBatchNorm(1.0, self.snn, name="bn")(y, training)
+        return MemUpdate(act=True, snn=self.snn, name="act")(y, training)
+
+
+class Conv_A(nn.Module):
+    """conv -> BN -> SiLU (reference Conv_A, :378-390)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = SnnConv(self.c2, self.k, self.s, self.p, self.g, name="conv")(x)
+        y = TBatchNorm(1.0, self.snn, name="bn")(y, training)
+        return jax.nn.silu(y)
+
+
+class Conv_B(nn.Module):
+    """mem_update -> conv -> BN (pre-act; used by DDetect towers, :393-406)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = MemUpdate(act=False, snn=self.snn, name="act")(x, training)
+        y = SnnConv(self.c2, self.k, self.s, self.p, self.g, name="conv")(y)
+        return TBatchNorm(1.0, self.snn, name="bn")(y, training)
+
+
+class Conv_1(nn.Module):
+    """conv -> BN, no activation — the stem of every EMS yaml (:409-425)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = SnnConv(self.c2, self.k, self.s, self.p, self.g, name="conv")(x)
+        return TBatchNorm(1.0, self.snn, name="bn")(y, training)
+
+
+class Conv_2(nn.Module):
+    """mem_update -> conv -> BN (reference Conv_2, :428-441)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = MemUpdate(act=False, snn=self.snn, name="act")(x, training)
+        y = SnnConv(self.c2, self.k, self.s, self.p, self.g, name="conv")(y)
+        return TBatchNorm(1.0, self.snn, name="bn")(y, training)
+
+
+class Conv_3(Conv_2):
+    """Same as Conv_2 with k default 1 (reference Conv_3, :443-474)."""
+
+
+class Conv_4(nn.Module):
+    """mem_update -> conv -> BN(0.2*thresh gamma) (reference Conv_4, :477)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = MemUpdate(act=False, snn=self.snn, name="act")(x, training)
+        y = SnnConv(self.c2, self.k, self.s, self.p, self.g, name="conv")(y)
+        return TBatchNorm(0.2, self.snn, name="bn")(y, training)
+
+
+class DepthWiseConv(nn.Module):
+    """depthwise kxk + pointwise 1x1 (reference models/common.py:3775-3806)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int = 0
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        y = SnnConv(
+            c1, self.k, self.s, self.p, g=c1, use_bias=self.use_bias, name="depth"
+        )(x)
+        return SnnConv(self.c2, 1, 1, 0, use_bias=self.use_bias, name="point")(y)
+
+
+class Conv_5(nn.Module):
+    """mem_update -> DepthWiseConv -> BN (reference Conv_5, :510-528)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    snn: SNNConfig = DEFAULT_SNN
+    gamma_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = MemUpdate(act=False, snn=self.snn, name="act")(x, training)
+        y = DepthWiseConv(self.c2, self.k, self.s, autopad(self.k, self.p), name="conv")(
+            y, training
+        )
+        return TBatchNorm(self.gamma_scale, self.snn, name="bn")(y, training)
+
+
+class Conv_6(Conv_5):
+    """Conv_5 with 0.2*thresh BN gamma (reference Conv_6, :530-547)."""
+
+    gamma_scale: float = 0.2
+
+
+class Conv_7(nn.Module):
+    """Learned temporal collapse T->1 (reference Conv_7, :549-562): a Conv3d
+    with in_channels=T, out_channels=1, kernel 1 — i.e. a learned weighted
+    sum over the time axis, shared across (C,H,W).  Output is 4-D [N,H,W,C].
+    """
+
+    k: int = 1
+    s: int = 1
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        t = x.shape[0]
+        w = self.param("w", torch_conv_kernel_init, (1, 1, t, 1))  # fan_in = t
+        w = w.reshape(t).astype(x.dtype)
+        return jnp.einsum("t,tnhwc->nhwc", w, x)
+
+
+# ---------------------------------------------------------------------------
+# residual blocks (reference models/common.py:882-1658)
+# ---------------------------------------------------------------------------
+
+
+class BasicBlock(nn.Module):
+    """SEW-style post-act residual (reference BasicBlock, :882-899)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    e: float = 0.5
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, self.k, self.s, snn=self.snn, name="cv1")(x, training)
+        y = Conv(self.c2, 3, 1, snn=self.snn, name="cv2")(y, training)
+        if self.s != 1 or c1 != self.c2:
+            sc = SnnConv(self.c2, 1, self.s, name="shortcut_conv")(x)
+            sc = TBatchNorm(1.0, self.snn, name="shortcut_bn")(sc, training)
+        else:
+            sc = x
+        return y + sc
+
+
+class BasicBlock_1(nn.Module):
+    """MS pre-act residual with fixed 1024 hidden width (reference :1049-1079)."""
+
+    c2: int
+    s: int = 1
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        c_ = 1024
+        y = MemUpdate(act=False, snn=self.snn, name="act1")(x, training)
+        y = SnnConv(c_, 3, self.s, name="conv1")(y)
+        y = TBatchNorm(1.0, self.snn, name="bn1")(y, training)
+        y = MemUpdate(act=False, snn=self.snn, name="act2")(y, training)
+        y = SnnConv(self.c2, 3, 1, name="conv2")(y)
+        y = TBatchNorm(0.2, self.snn, name="bn2")(y, training)
+        if self.s != 1 or c1 != self.c2:
+            sc = max_pool_t(x, self.s)
+            sc = MemUpdate(act=False, snn=self.snn, name="sc_act")(sc, training)
+            sc = SnnConv(self.c2, 1, 1, name="sc_conv")(sc)
+            sc = TBatchNorm(1.0, self.snn, name="sc_bn")(sc, training)
+        else:
+            sc = x
+        return y + sc
+
+
+class BasicBlock_2(nn.Module):
+    """The EMS 'MS' block (reference BasicBlock_2, :1182-1219):
+    (mem_update -> conv -> BN) x2 with gamma init thresh then 0.2*thresh;
+    shortcut = identity or MaxPool(1,s,s) -> mem_update -> 1x1 conv -> BN.
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        pad = 1 if self.k == 3 else 0
+        y = MemUpdate(act=False, snn=self.snn, name="act1")(x, training)
+        y = SnnConv(self.c2, self.k, self.s, pad, name="conv1")(y)
+        y = TBatchNorm(1.0, self.snn, name="bn1")(y, training)
+        y = MemUpdate(act=False, snn=self.snn, name="act2")(y, training)
+        y = SnnConv(self.c2, self.k, 1, pad, name="conv2")(y)
+        y = TBatchNorm(0.2, self.snn, name="bn2")(y, training)
+        if self.s != 1 or c1 != self.c2:
+            sc = max_pool_t(x, self.s)
+            sc = MemUpdate(act=False, snn=self.snn, name="sc_act")(sc, training)
+            sc = SnnConv(self.c2, 1, 1, name="sc_conv")(sc)
+            sc = TBatchNorm(1.0, self.snn, name="sc_bn")(sc, training)
+        else:
+            sc = x
+        return y + sc
+
+
+class Concat_res2(nn.Module):
+    """The EMS 'EMS' block (reference Concat_res2, :1454-1488): residual as
+    BasicBlock_2 plus a channel-expanding full-spike shortcut
+    ``maxpool(cat([1x1conv(x), x]))`` — no float ADD path on the shortcut.
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        pad = 1 if self.k == 3 else 0
+        y = MemUpdate(act=False, snn=self.snn, name="act1")(x, training)
+        y = SnnConv(self.c2, self.k, self.s, pad, name="conv1")(y)
+        y = TBatchNorm(1.0, self.snn, name="bn1")(y, training)
+        y = MemUpdate(act=False, snn=self.snn, name="act2")(y, training)
+        y = SnnConv(self.c2, self.k, 1, pad, name="conv2")(y)
+        y = TBatchNorm(0.2, self.snn, name="bn2")(y, training)
+
+        if c1 < self.c2:
+            t = MemUpdate(act=False, snn=self.snn, name="sc_act")(x, training)
+            t = SnnConv(self.c2 - c1, 1, 1, name="sc_conv")(t)
+            t = TBatchNorm(1.0, self.snn, name="sc_bn")(t, training)
+            sc = jnp.concatenate([t, x], axis=-1)
+        else:
+            sc = x
+        sc = max_pool_t(sc, self.s)
+        return y + sc
+
+
+class Shortcut(nn.Module):
+    """pool -> spike -> 1x1 conv -> BN (reference ``shortcut``, :1434-1451)."""
+
+    c2: int
+    s: int = 1
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = max_pool_t(x, self.s)
+        y = MemUpdate(act=False, snn=self.snn, name="act")(y, training)
+        y = SnnConv(self.c2, 1, 1, 0, name="conv")(y)
+        return TBatchNorm(1.0, self.snn, name="bn")(y, training)
+
+
+class DFL(nn.Module):
+    """Distribution Focal decode (reference models/common.py:312-324):
+    softmax over reg_max bins, then expectation with frozen arange weights.
+    Input [N, 4*reg_max, A]; output [N, 4, A].
+    """
+
+    c1: int = 16
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        n, _, a = x.shape
+        proj = jnp.arange(self.c1, dtype=x.dtype)
+        x = x.reshape(n, 4, self.c1, a)
+        x = jax.nn.softmax(x, axis=2)
+        return jnp.einsum("nkca,c->nka", x, proj)
