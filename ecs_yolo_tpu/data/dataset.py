@@ -1,0 +1,297 @@
+"""Training/validation dataset: images + YOLO-format txt labels.
+
+Host-side equivalent of the reference ``LoadImagesAndLabels``
+(utils/datasets.py:377-810): label discovery via the images->labels path
+convention, hash-validated label cache, mosaic-4 + random-perspective + HSV +
+flip augmentation, letterbox for val.  TPU-specific departures:
+
+* batches are static-shape: images are square letterboxed (rect-batch shape
+  buckets are a later optimization) and labels are PADDED to ``max_labels``
+  with a validity mask instead of the reference's variable-length [n,6]
+  concat (utils/datasets.py:626 collate_fn),
+* images come out channels-last float32 [0,1] (NHWC for TPU convs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from .augment import (
+    augment_hsv,
+    box_candidates,
+    flip_lr,
+    flip_ud,
+    letterbox,
+    mixup,
+    random_perspective,
+)
+
+IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
+
+
+def img2label_path(p: str) -> str:
+    """images/xxx.jpg -> labels/xxx.txt (reference utils/datasets.py:371)."""
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+    return sb.join(p.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt"
+
+
+def find_images(path) -> List[str]:
+    """Resolve a dir / txt list / glob into a sorted image list."""
+    files: List[str] = []
+    for p in path if isinstance(path, (list, tuple)) else [path]:
+        p = Path(p)
+        if p.is_dir():
+            files += [str(f) for f in sorted(p.rglob("*.*"))]
+        elif p.is_file() and p.suffix == ".txt":
+            root = p.parent
+            with open(p) as fh:
+                for line in fh.read().strip().splitlines():
+                    line = line.strip()
+                    f = (root / line).resolve() if line.startswith("./") else Path(line)
+                    files.append(str(f))
+        elif p.is_file():
+            files.append(str(p))
+        else:
+            raise FileNotFoundError(f"{p} does not exist")
+    return sorted(
+        f for f in files if f.rsplit(".", 1)[-1].lower() in IMG_FORMATS
+    )
+
+
+def _paths_hash(paths: Sequence[str]) -> str:
+    h = hashlib.md5()
+    for p in paths:
+        h.update(p.encode())
+        try:
+            h.update(str(os.path.getsize(p)).encode())
+        except OSError:
+            pass
+    return h.hexdigest()
+
+
+def load_label_file(path: str) -> np.ndarray:
+    """Read one YOLO txt -> [n, 5] (cls, x, y, w, h), validated."""
+    if not os.path.isfile(path):
+        return np.zeros((0, 5), np.float32)
+    with open(path) as fh:
+        rows = [l.split() for l in fh.read().strip().splitlines() if l]
+    if not rows:
+        return np.zeros((0, 5), np.float32)
+    lb = np.array(rows, dtype=np.float32)
+    assert lb.shape[1] == 5, f"labels require 5 columns, got {lb.shape[1]}: {path}"
+    assert (lb >= 0).all(), f"negative label values: {path}"
+    assert (lb[:, 1:] <= 1).all(), f"non-normalized coordinates: {path}"
+    _, idx = np.unique(lb, axis=0, return_index=True)
+    return lb[np.sort(idx)]
+
+
+class Dataset:
+    """Image+label dataset with cached labels and YOLO augmentations."""
+
+    def __init__(
+        self,
+        path,
+        img_size: int = 640,
+        augment: bool = False,
+        hyp: Optional[Dict] = None,
+        stride: int = 32,
+        pad: float = 0.0,
+        max_labels: int = 300,
+        cache_dir: Optional[str] = None,
+        single_cls: bool = False,
+    ):
+        self.img_files = find_images(path)
+        assert self.img_files, f"no images found in {path}"
+        self.label_files = [img2label_path(p) for p in self.img_files]
+        self.img_size = img_size
+        self.augment = augment
+        self.hyp = dict(hyp or {})
+        self.stride = stride
+        self.pad = pad
+        self.max_labels = max_labels
+        self.single_cls = single_cls
+        self.labels = self._load_labels(cache_dir)
+        self.n = len(self.img_files)
+        self.indices = np.arange(self.n)
+        self.mosaic_border = [-img_size // 2, -img_size // 2]
+
+    # -- labels ---------------------------------------------------------------
+
+    def _load_labels(self, cache_dir):
+        cache_path = None
+        key = _paths_hash(self.img_files)
+        if cache_dir:
+            cache_path = Path(cache_dir) / f"labels_{key}.npz"
+            if cache_path.exists():
+                z = np.load(cache_path, allow_pickle=True)
+                if str(z["hash"]) == key:
+                    return list(z["labels"])
+        labels = [load_label_file(p) for p in self.label_files]
+        if self.single_cls:
+            for lb in labels:
+                lb[:, 0] = 0
+        if cache_path:
+            cache_path.parent.mkdir(parents=True, exist_ok=True)
+            np.savez(
+                cache_path,
+                hash=key,
+                labels=np.array(labels, dtype=object),
+            )
+        return labels
+
+    # -- image access ---------------------------------------------------------
+
+    def load_image(self, i: int):
+        """Load + resize longest side to img_size (keeps ratio)."""
+        im = np.asarray(Image.open(self.img_files[i]).convert("RGB"))
+        h0, w0 = im.shape[:2]
+        r = self.img_size / max(h0, w0)
+        if r != 1:
+            im = np.asarray(
+                Image.fromarray(im).resize(
+                    (int(w0 * r), int(h0 * r)), Image.BILINEAR
+                )
+            )
+        return im, (h0, w0), im.shape[:2]
+
+    def __len__(self):
+        return self.n
+
+    # -- augmentation pipeline ------------------------------------------------
+
+    def load_mosaic(self, index: int, rng) -> Tuple[np.ndarray, np.ndarray]:
+        """4-image mosaic (reference utils/datasets.py:681-750)."""
+        s = self.img_size
+        yc = int(rng.uniform(-self.mosaic_border[0], 2 * s + self.mosaic_border[0]))
+        xc = int(rng.uniform(-self.mosaic_border[1], 2 * s + self.mosaic_border[1]))
+        idxs = [index] + [int(rng.choice(self.indices)) for _ in range(3)]
+        img4 = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+        labels4 = []
+        for i, idx in enumerate(idxs):
+            img, _, (h, w) = self.load_image(idx)
+            if i == 0:  # top-left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+                x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+                x2b, y2b = w, h
+            elif i == 1:  # top-right
+                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+            elif i == 2:  # bottom-left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+                x1b, y1b = w - (x2a - x1a), 0
+                x2b, y2b = w, min(y2a - y1a, h)
+            else:  # bottom-right
+                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+            img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+            padw, padh = x1a - x1b, y1a - y1b
+            lb = self.labels[idx].copy()
+            if len(lb):
+                # normalized xywh -> mosaic-canvas xyxy
+                xy = lb[:, 1:5].copy()
+                lb[:, 1] = w * (xy[:, 0] - xy[:, 2] / 2) + padw
+                lb[:, 2] = h * (xy[:, 1] - xy[:, 3] / 2) + padh
+                lb[:, 3] = w * (xy[:, 0] + xy[:, 2] / 2) + padw
+                lb[:, 4] = h * (xy[:, 1] + xy[:, 3] / 2) + padh
+            labels4.append(lb)
+        labels4 = np.concatenate(labels4, 0) if labels4 else np.zeros((0, 5))
+        labels4[:, 1:] = labels4[:, 1:].clip(0, 2 * s)
+
+        hyp = self.hyp
+        img4, labels4 = random_perspective(
+            img4,
+            labels4,
+            degrees=hyp.get("degrees", 0.0),
+            translate=hyp.get("translate", 0.1),
+            scale=hyp.get("scale", 0.5),
+            shear=hyp.get("shear", 0.0),
+            perspective=hyp.get("perspective", 0.0),
+            border=self.mosaic_border,
+            rng=rng,
+        )
+        return img4, labels4
+
+    def __getitem__(self, index: int):
+        """Returns (image float32 [H,W,3] 0-1, labels [max_labels,5], mask)."""
+        hyp = self.hyp
+        rng = random.Random((os.getpid() << 20) ^ random.randrange(1 << 30) ^ index)
+        use_mosaic = self.augment and rng.random() < hyp.get("mosaic", 1.0)
+
+        if use_mosaic:
+            img, labels_xyxy = self.load_mosaic(index, rng)
+            if rng.random() < hyp.get("mixup", 0.0):
+                img2, labels2 = self.load_mosaic(
+                    int(rng.choice(self.indices)), rng
+                )
+                img, labels_xyxy = mixup(img, labels_xyxy, img2, labels2)
+            h = w = img.shape[0]
+            labels = labels_xyxy.copy()
+            if len(labels):
+                labels[:, 1] = ((labels_xyxy[:, 1] + labels_xyxy[:, 3]) / 2) / w
+                labels[:, 2] = ((labels_xyxy[:, 2] + labels_xyxy[:, 4]) / 2) / h
+                labels[:, 3] = (labels_xyxy[:, 3] - labels_xyxy[:, 1]) / w
+                labels[:, 4] = (labels_xyxy[:, 4] - labels_xyxy[:, 2]) / h
+        else:
+            img, (h0, w0), (h, w) = self.load_image(index)
+            img, ratio, pad = letterbox(
+                img, self.img_size, auto=False, scaleup=self.augment
+            )
+            labels = self.labels[index].copy()
+            if len(labels):
+                # renormalize to the letterboxed canvas
+                nh, nw = img.shape[:2]
+                labels[:, 1] = (labels[:, 1] * w * ratio[0] + pad[0]) / nw
+                labels[:, 2] = (labels[:, 2] * h * ratio[1] + pad[1]) / nh
+                labels[:, 3] = labels[:, 3] * w * ratio[0] / nw
+                labels[:, 4] = labels[:, 4] * h * ratio[1] / nh
+
+        if self.augment:
+            img = augment_hsv(
+                img,
+                hyp.get("hsv_h", 0.015),
+                hyp.get("hsv_s", 0.7),
+                hyp.get("hsv_v", 0.4),
+                rng=rng,
+            )
+            if rng.random() < hyp.get("flipud", 0.0):
+                img, labels = flip_ud(img, labels)
+            if rng.random() < hyp.get("fliplr", 0.5):
+                img, labels = flip_lr(img, labels)
+
+        out_l = np.zeros((self.max_labels, 5), np.float32)
+        mask = np.zeros((self.max_labels,), bool)
+        n = min(len(labels), self.max_labels)
+        if n:
+            out_l[:n] = labels[:n]
+            mask[:n] = True
+        return img.astype(np.float32) / 255.0, out_l, mask
+
+    # -- batching -------------------------------------------------------------
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
+                drop_last: bool = True):
+        """Yield (images [B,H,W,3], labels [B,M,5], masks [B,M]) batches."""
+        order = np.arange(self.n)
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        end = self.n - (self.n % batch_size) if drop_last else self.n
+        if end == 0:
+            end = self.n
+        for i in range(0, end, batch_size):
+            idxs = order[i : i + batch_size]
+            ims, lbs, ms = zip(*(self[int(j)] for j in idxs))
+            ims = np.stack(ims)
+            if len(idxs) < batch_size and not drop_last:
+                padn = batch_size - len(idxs)
+                ims = np.concatenate([ims, np.zeros((padn,) + ims.shape[1:], ims.dtype)])
+                lbs = list(lbs) + [np.zeros_like(lbs[0])] * padn
+                ms = list(ms) + [np.zeros_like(ms[0])] * padn
+            yield ims, np.stack(lbs), np.stack(ms)

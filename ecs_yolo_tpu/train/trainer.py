@@ -1,0 +1,116 @@
+"""jit/pjit training step.
+
+Replaces the reference's training inner loop (train.py:490-620): AMP
+GradScaler becomes straight bf16/fp32 (no loss scaling needed on TPU), DDP
+all-reduce becomes XLA's automatic gradient reduction over the sharded batch,
+EMA is a pytree op inside the same compiled step, and BN runs with global
+statistics (SyncBN semantics) by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.yolo import BuiltModel
+from .ema import ema_update
+from .loss_v1 import compute_loss_v1
+from .loss_tal import compute_loss_tal, compute_loss_v10, compute_loss_dual
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    step: jax.Array
+
+
+def create_train_state(variables, tx) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),  # distinct buffers (donation-safe)
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_loss_fn(model: BuiltModel, hyp: Dict[str, float]):
+    """Head-appropriate loss closure (v1 anchor / TAL / v10 / dual)."""
+    head = model.head_name
+    nc = model.nc
+    strides = model.strides
+
+    if head == "Detect":
+        a = model.head["anchors_grid"]
+        anchors = jnp.asarray(a).reshape(len(a), -1, 2)  # [nl, na, 2]
+
+        def loss(out, targets, t_mask):
+            return compute_loss_v1(out, targets, t_mask, anchors, hyp, nc)
+
+    elif head == "DDetect":
+
+        def loss(out, targets, t_mask):
+            return compute_loss_tal(
+                out, targets, t_mask, strides, nc,
+                gains=(hyp.get("box", 7.5), hyp.get("cls", 0.5), hyp.get("dfl", 1.5)),
+            )
+
+    elif head == "v10Detect":
+
+        def loss(out, targets, t_mask):
+            return compute_loss_v10(out, targets, t_mask, strides, nc)
+
+    elif head == "DualDDetect":
+
+        def loss(out, targets, t_mask):
+            return compute_loss_dual(
+                out[0], out[1], targets, t_mask, strides, nc
+            )
+
+    else:
+        raise KeyError(head)
+    return loss
+
+
+def make_train_step(
+    model: BuiltModel,
+    tx: optax.GradientTransformation,
+    hyp: Dict[str, float],
+    ema_decay: float = 0.9999,
+    compute_dtype=jnp.float32,
+):
+    """Build the jitted train step.  Batch: (images [B,H,W,C] float 0-1,
+    targets [B,M,5], mask [B,M])."""
+    loss_fn = make_loss_fn(model, hyp)
+
+    def step_fn(state: TrainState, images, targets, t_mask):
+        def losses(params):
+            out, upd = model.module.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images.astype(compute_dtype),
+                training=True,
+                mutable=["batch_stats"],
+            )
+            total, items = loss_fn(out, targets, t_mask)
+            return total.astype(jnp.float32), (items, upd["batch_stats"])
+
+        (total, (items, new_bs)), grads = jax.value_and_grad(
+            losses, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        step = state.step + 1
+        ema_params = ema_update(
+            state.ema_params, params, step, decay=ema_decay
+        )
+        new_state = TrainState(params, new_bs, opt_state, ema_params, step)
+        return new_state, {"loss": total, "items": items}
+
+    return jax.jit(step_fn, donate_argnums=(0,))

@@ -1,0 +1,146 @@
+"""Data pipeline tests on a synthetic mini-dataset."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ecs_yolo_tpu.data.augment import (
+    letterbox,
+    augment_hsv,
+    random_perspective,
+    flip_lr,
+    _rgb_to_hsv_u8,
+    _hsv_to_rgb_u8,
+)
+from ecs_yolo_tpu.data.dataset import Dataset, img2label_path, load_label_file
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    """4 images with simple box labels in the images/labels convention."""
+    root = tmp_path_factory.mktemp("ds")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        h, w = 200 + 40 * i, 320
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(root / "images" / f"im{i}.jpg")
+        with open(root / "labels" / f"im{i}.txt", "w") as fh:
+            fh.write(f"{i % 3} 0.5 0.5 0.4 0.3\n0 0.25 0.25 0.2 0.2\n")
+    return root
+
+
+class TestLetterbox:
+    def test_square_output(self):
+        im = np.zeros((200, 320, 3), np.uint8)
+        out, ratio, pad = letterbox(im, 640, auto=False)
+        assert out.shape == (640, 640, 3)
+
+    def test_ratio_preserved(self):
+        im = np.zeros((100, 200, 3), np.uint8)
+        out, ratio, (dw, dh) = letterbox(im, 640, auto=False)
+        assert ratio[0] == ratio[1] == 3.2
+        assert dh == (640 - 320) / 2
+
+    def test_auto_min_rect(self):
+        im = np.zeros((100, 200, 3), np.uint8)
+        out, _, _ = letterbox(im, 640, auto=True, stride=32)
+        assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
+        assert out.shape[0] <= 352  # minimal padding, not full square
+
+
+class TestHSV:
+    def test_roundtrip(self):
+        rng = np.random.RandomState(1)
+        im = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        h, s, v = _rgb_to_hsv_u8(im)
+        back = _hsv_to_rgb_u8(h, s, v)
+        assert np.abs(back.astype(int) - im.astype(int)).mean() < 6
+
+    def test_augment_changes_image(self):
+        rng = np.random.RandomState(2)
+        im = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        out = augment_hsv(im, rng=random.Random(0))
+        assert out.shape == im.shape and out.dtype == np.uint8
+
+
+class TestRandomPerspective:
+    def test_identity_when_no_jitter(self):
+        im = (np.random.RandomState(3).rand(64, 64, 3) * 255).astype(np.uint8)
+        targets = np.array([[0, 10, 10, 50, 50]], np.float32)
+        rng = random.Random(0)
+        out, t = random_perspective(
+            im, targets, degrees=0, translate=0.0, scale=0.0, shear=0,
+            perspective=0.0, rng=rng,
+        )
+        # translate=0.0 still centers at 0.5*W -> pure identity needs T=0.5
+        assert out.shape == im.shape
+
+    def test_labels_stay_in_bounds(self):
+        im = (np.random.RandomState(4).rand(128, 128, 3) * 255).astype(np.uint8)
+        targets = np.array(
+            [[0, 20, 20, 80, 80], [1, 40, 60, 100, 120]], np.float32
+        )
+        out, t = random_perspective(
+            im, targets, degrees=10, translate=0.1, scale=0.3, shear=5,
+            rng=random.Random(1),
+        )
+        if len(t):
+            assert (t[:, 1:] >= 0).all()
+            assert (t[:, [1, 3]] <= out.shape[1]).all()
+            assert (t[:, [2, 4]] <= out.shape[0]).all()
+
+
+def test_img2label_path():
+    assert img2label_path(f"{os.sep}d{os.sep}images{os.sep}a.jpg") == (
+        f"{os.sep}d{os.sep}labels{os.sep}a.txt"
+    )
+
+
+class TestDataset:
+    def test_val_mode(self, mini_dataset):
+        ds = Dataset(str(mini_dataset / "images"), img_size=320, augment=False)
+        assert len(ds) == 4
+        img, labels, mask = ds[0]
+        assert img.shape == (320, 320, 3)
+        assert img.dtype == np.float32 and img.max() <= 1.0
+        assert mask.sum() == 2
+        # labels normalized
+        assert (labels[mask][:, 1:] <= 1).all() and (labels[mask][:, 1:] >= 0).all()
+
+    def test_train_mode_mosaic(self, mini_dataset):
+        ds = Dataset(
+            str(mini_dataset / "images"), img_size=320, augment=True,
+            hyp=dict(mosaic=1.0, fliplr=0.5),
+        )
+        img, labels, mask = ds[1]
+        assert img.shape == (320, 320, 3)
+
+    def test_batches(self, mini_dataset):
+        ds = Dataset(str(mini_dataset / "images"), img_size=160, augment=False)
+        batches = list(ds.batches(2))
+        assert len(batches) == 2
+        ims, lbs, ms = batches[0]
+        assert ims.shape == (2, 160, 160, 3)
+        assert lbs.shape == (2, 300, 5)
+        assert ms.shape == (2, 300)
+
+    def test_label_cache(self, mini_dataset, tmp_path):
+        ds1 = Dataset(
+            str(mini_dataset / "images"), img_size=160, cache_dir=str(tmp_path)
+        )
+        ds2 = Dataset(
+            str(mini_dataset / "images"), img_size=160, cache_dir=str(tmp_path)
+        )
+        for a, b in zip(ds1.labels, ds2.labels):
+            np.testing.assert_array_equal(a, b)
+
+    def test_flip_lr_labels(self):
+        im = np.zeros((8, 8, 3), np.uint8)
+        labels = np.array([[0, 0.25, 0.5, 0.1, 0.1]], np.float32)
+        _, out = flip_lr(im, labels)
+        assert out[0, 1] == pytest.approx(0.75)
