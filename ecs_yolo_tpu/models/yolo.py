@@ -25,6 +25,7 @@ import yaml
 
 from ..config import SNNConfig, DEFAULT_SNN
 from ..nn import blocks as B
+from ..nn import blocks_ext as BX
 from ..nn import heads as H
 
 YAML_DIR = Path(__file__).parent / "yaml"
@@ -51,7 +52,33 @@ C2_BLOCKS = {
     "Concat_res2": B.Concat_res2,
     "shortcut": B.Shortcut,
     "DepthWiseConv": B.DepthWiseConv,
+    # extended families (nn/blocks_ext.py)
+    "DWConv": BX.DWConv,
+    "LightConv": BX.LightConv,
+    "Bottleneck": BX.Bottleneck,
+    "BottleneckCSP": BX.BottleneckCSP,
+    "C3": BX.C3,
+    "C3Ghost": BX.C3Ghost,
+    "C2f": BX.C2f,
+    "SPP": BX.SPP,
+    "SPPF": BX.SPPF,
+    "Focus": BX.Focus,
+    "GhostConv": BX.GhostConv,
+    "GhostBottleneck": BX.GhostBottleneck,
+    "GSConv": BX.GSConv,
+    "BasicBlock_6": BX.BasicBlock_6,
+    "BasicBlock_1s": BX.BasicBlock_1s,
+    "StarBlock_2": BX.StarBlock_2,
+    "RepConv": BX.RepConv,
+    "RepC3": BX.RepC3,
+    "MHSA": BX.MHSA,
+    "BottleneckTransformer": BX.BottleneckTransformer,
+    "BoT3": BX.BoT3,
 }
+
+# blocks that repeat n times by inserting the count as the arg after c2
+# (reference models/yolo.py:489-494)
+CSP_N_BLOCKS = {"BottleneckCSP", "C3", "C3Ghost", "C2f", "RepC3", "BoT3"}
 
 # blocks that keep the input channel count; args passed through verbatim
 PASS_BLOCKS = {
@@ -60,6 +87,11 @@ PASS_BLOCKS = {
     "zeropad": B.ZeroPad,
     "mem_update": B.MemUpdate,
     "Conv_7": B.Conv_7,
+    "AIFI": BX.AIFI,
+    "EMA": BX.EMAAttention,
+    "DSSA": BX.DSSA,
+    "SELayer": BX.SELayer,
+    "Silence": BX.Silence,
 }
 
 HEADS = {
@@ -67,9 +99,25 @@ HEADS = {
     "DDetect": H.DDetect,
     "DualDDetect": H.DualDDetect,
     "v10Detect": H.v10Detect,
+    "ASFF_DDetect": H.ASFF_DDetect,
+    "ASFF_v10Detect": H.ASFF_v10Detect,
 }
 
-SNN_AWARE = set(C2_BLOCKS) | {"mem_update", "Conv_7"} | set(HEADS)
+EXTRA_BLOCKS = {
+    "Contract": BX.Contract,
+    "Expand": BX.Expand,
+    "CBLinear": BX.CBLinear,
+    "CBFuse": BX.CBFuse,
+    "ASFF2": BX.ASFF2,
+    "ASFF3": BX.ASFF3,
+}
+
+SNN_AWARE = (
+    set(C2_BLOCKS)
+    | {"mem_update", "Conv_7", "AIFI", "EMA", "DSSA", "SELayer",
+       "CBLinear", "ASFF2", "ASFF3"}
+    | set(HEADS)
+) - {"Contract", "Expand", "Silence", "CBFuse", "DropPath"}
 
 
 def make_divisible(x, divisor: int = 8):
@@ -129,6 +177,21 @@ def parse_model(
             if c2 != no:
                 c2 = make_divisible(c2 * gw, 8)
             args = [c2, *args[1:]]
+            if name in CSP_N_BLOCKS:
+                args.insert(1, n)  # repeat count is the module's own field
+                n = 1
+        elif name == "Contract":
+            c2 = chs[f] * args[0] ** 2
+        elif name == "Expand":
+            c2 = chs[f] // args[0] ** 2
+        elif name == "CBLinear":
+            c2 = tuple(args[0])
+            args = [tuple(args[0]), *args[1:]]
+        elif name == "CBFuse":
+            c2 = chs[f[-1]]
+            args = [tuple(args[0]) if args else ()]
+        elif name in ("ASFF2", "ASFF3"):
+            c2 = chs[f[args[0]]] if isinstance(f, (list, tuple)) else chs[f]
         elif name == "Concat":
             c2 = sum(chs[x] for x in f)
         elif name in HEADS:
@@ -179,7 +242,12 @@ class _Repeat(nn.Module):
 
 
 def _construct(name: str, args: Tuple, snn: SNNConfig, mod_name=None):
-    cls = C2_BLOCKS.get(name) or PASS_BLOCKS.get(name) or HEADS.get(name)
+    cls = (
+        C2_BLOCKS.get(name)
+        or PASS_BLOCKS.get(name)
+        or HEADS.get(name)
+        or EXTRA_BLOCKS.get(name)
+    )
     kwargs = {}
     if name in SNN_AWARE:
         kwargs["snn"] = snn
@@ -258,11 +326,11 @@ def _head_feat_shapes(out, head_name: str):
     """Extract per-level spatial shapes from the head's training output."""
     if head_name == "Detect":
         return [(f.shape[2], f.shape[3]) for f in out]  # [N,na,ny,nx,no]
-    if head_name == "DDetect":
+    if head_name in ("DDetect", "ASFF_DDetect"):
         return [(f.shape[2], f.shape[3]) for f in out]  # [N,no,h,w]
     if head_name == "DualDDetect":
         return [(f.shape[2], f.shape[3]) for f in out[1]]
-    if head_name == "v10Detect":
+    if head_name in ("v10Detect", "ASFF_v10Detect"):
         return [(f.shape[2], f.shape[3]) for f in out.one2many]
     raise KeyError(head_name)
 
@@ -397,6 +465,9 @@ def init_head_biases(model: BuiltModel, variables, imgsz: int = 640):
         return variables
     nc = model.nc
     hname = model.head_name
+    if hname in ("ASFF_DDetect", "ASFF_v10Detect"):
+        head = head.get("det", head)
+        hname = {"ASFF_DDetect": "DDetect", "ASFF_v10Detect": "v10Detect"}[hname]
 
     if hname == "Detect":
         na = len(model.head["anchors_grid"][0]) // 2

@@ -250,6 +250,7 @@ class Conv(nn.Module):
     s: int = 1
     p: Optional[int] = None
     g: int = 1
+    ecs_flag: Any = None  # positional YAML-compat slot (unused)
     snn: SNNConfig = DEFAULT_SNN
 
     @nn.compact
@@ -267,6 +268,7 @@ class Conv_A(nn.Module):
     s: int = 1
     p: Optional[int] = None
     g: int = 1
+    act_flag: Any = None  # positional YAML-compat slot (unused)
     snn: SNNConfig = DEFAULT_SNN
 
     @nn.compact
@@ -301,6 +303,7 @@ class Conv_1(nn.Module):
     s: int = 1
     p: Optional[int] = None
     g: int = 1
+    act_flag: Any = None  # positional YAML-compat slot (unused)
     snn: SNNConfig = DEFAULT_SNN
 
     @nn.compact
@@ -317,6 +320,7 @@ class Conv_2(nn.Module):
     s: int = 1
     p: Optional[int] = None
     g: int = 1
+    act_flag: Any = None  # positional YAML-compat slot (unused)
     snn: SNNConfig = DEFAULT_SNN
 
     @nn.compact
@@ -338,6 +342,7 @@ class Conv_4(nn.Module):
     s: int = 1
     p: Optional[int] = None
     g: int = 1
+    act_flag: Any = None  # positional YAML-compat slot (unused)
     snn: SNNConfig = DEFAULT_SNN
 
     @nn.compact
@@ -355,6 +360,7 @@ class DepthWiseConv(nn.Module):
     s: int = 1
     p: int = 0
     use_bias: bool = False
+    snn: SNNConfig = DEFAULT_SNN
 
     @nn.compact
     def __call__(self, x, training: bool = False):

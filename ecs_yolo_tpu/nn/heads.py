@@ -290,4 +290,54 @@ class v10Detect(nn.Module):
         return V10Output(one2many=one2many, one2one=(y, one2one))
 
 
-HEAD_NAMES = ("Detect", "DDetect", "DualDDetect", "v10Detect", "ASFF_DDetect")
+class ASFF_DDetect(nn.Module):
+    """DDetect with ASFF2 adaptive fusion of the input pyramid
+    (reference models/yolo_snn.py:594-606).  Matches the reference's
+    sequential in-place update: level i's fusion consumes the already-fused
+    shallower levels."""
+
+    nc: int = 80
+    reg_max: int = 16
+    strides: Tuple[float, ...] = ()
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], training: bool = False):
+        from .blocks_ext import ASFF2  # local import avoids a cycle
+
+        xs = list(xs[::-1])  # deepest first, as ASFF expects
+        for i in range(len(xs)):
+            xs[i] = ASFF2(level=i, snn=self.snn, name=f"asff{i}")(xs, training)
+        xs = xs[::-1]
+        return DDetect(
+            self.nc, self.reg_max, self.strides, self.snn, name="det"
+        )(xs, training)
+
+
+class ASFF_v10Detect(nn.Module):
+    """v10Detect with ASFF2 fusion (reference models/yolo_snn.py:608-620)."""
+
+    nc: int = 80
+    reg_max: int = 16
+    strides: Tuple[float, ...] = ()
+    max_det: int = 300
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], training: bool = False):
+        from .blocks_ext import ASFF2
+
+        xs = list(xs[::-1])
+        for i in range(len(xs)):
+            xs[i] = ASFF2(level=i, snn=self.snn, name=f"asff{i}")(xs, training)
+        xs = xs[::-1]
+        return v10Detect(
+            self.nc, self.reg_max, self.strides, self.max_det, self.snn,
+            name="det",
+        )(xs, training)
+
+
+HEAD_NAMES = (
+    "Detect", "DDetect", "DualDDetect", "v10Detect",
+    "ASFF_DDetect", "ASFF_v10Detect",
+)

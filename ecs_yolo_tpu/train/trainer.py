@@ -54,7 +54,7 @@ def make_loss_fn(model: BuiltModel, hyp: Dict[str, float]):
         def loss(out, targets, t_mask):
             return compute_loss_v1(out, targets, t_mask, anchors, hyp, nc)
 
-    elif head == "DDetect":
+    elif head in ("DDetect", "ASFF_DDetect"):
 
         def loss(out, targets, t_mask):
             return compute_loss_tal(
@@ -62,7 +62,7 @@ def make_loss_fn(model: BuiltModel, hyp: Dict[str, float]):
                 gains=(hyp.get("box", 7.5), hyp.get("cls", 0.5), hyp.get("dfl", 1.5)),
             )
 
-    elif head == "v10Detect":
+    elif head in ("v10Detect", "ASFF_v10Detect"):
 
         def loss(out, targets, t_mask):
             return compute_loss_v10(out, targets, t_mask, strides, nc)

@@ -1,0 +1,47 @@
+"""Model-zoo smoke test: every YAML builds and shape-checks abstractly
+(equivalent of the reference's `python models/yolo.py --test`,
+models/yolo.py:668-702 — but purely abstract via jax.eval_shape)."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ecs_yolo_tpu.config import SNNConfig
+from ecs_yolo_tpu.models.yolo import YAML_DIR, build_model
+
+ALL_YAMLS = sorted(p.name for p in Path(YAML_DIR).glob("*.yaml"))
+SNN = SNNConfig(time_window=2)
+
+
+@pytest.mark.parametrize("name", ALL_YAMLS)
+def test_yaml_builds_and_traces(name):
+    model = build_model(name, snn=SNN)
+    assert len(model.strides) >= 2
+    assert model.strides[-1] == max(model.strides)
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+
+    def train_fwd():
+        out, _ = model.module.init_with_output(key, x, training=True)
+        return out
+
+    def eval_fwd():
+        out, _ = model.module.init_with_output(key, x, training=False)
+        return out
+
+    # abstract trace only — catches shape and wiring errors without compiling
+    jax.eval_shape(train_fwd)
+    out = jax.eval_shape(eval_fwd)
+
+    if model.head_name == "Detect":
+        z, feats = out
+        assert z.shape[-1] == model.nc + 5
+    elif model.head_name in ("DDetect", "ASFF_DDetect", "DualDDetect"):
+        z = out[0]
+        assert z.shape[1] == model.nc + 4
+    else:  # v10 family
+        z = out.one2one[0]
+        assert z.shape[1] == model.nc + 4
