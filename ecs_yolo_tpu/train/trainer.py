@@ -21,6 +21,19 @@ from .loss_v1 import compute_loss_v1
 from .loss_tal import compute_loss_tal, compute_loss_v10, compute_loss_dual
 
 
+def _sparsity_grad(srtmp, sr):
+    from .sparsity import _is_bn_scale, _is_bn_bias
+
+    def upd(path, g, p):
+        if _is_bn_scale(path):
+            return g + srtmp * jnp.sign(p)
+        if _is_bn_bias(path):
+            return g + 10.0 * sr * jnp.sign(p)
+        return g
+
+    return upd
+
+
 class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
@@ -85,9 +98,12 @@ def make_train_step(
     hyp: Dict[str, float],
     ema_decay: float = 0.9999,
     compute_dtype=jnp.float32,
+    sr: float = 0.0,
+    sr_total_steps: int = 0,
 ):
     """Build the jitted train step.  Batch: (images [B,H,W,C] float 0-1,
-    targets [B,M,5], mask [B,M])."""
+    targets [B,M,5], mask [B,M]).  `sr > 0` enables network-slimming BN-L1
+    sparsity (reference train_sparsity.py:570-581)."""
     loss_fn = make_loss_fn(model, hyp)
 
     def step_fn(state: TrainState, images, targets, t_mask):
@@ -104,6 +120,15 @@ def make_train_step(
         (total, (items, new_bs)), grads = jax.value_and_grad(
             losses, has_aux=True
         )(state.params)
+        if sr > 0:
+            from .sparsity import bn_l1_grads
+
+            # srtmp decays linearly over training (train_sparsity.py:573)
+            frac = state.step.astype(jnp.float32) / max(sr_total_steps, 1)
+            srtmp = sr * (1.0 - 0.9 * jnp.clip(frac, 0.0, 1.0))
+            grads = jax.tree_util.tree_map_with_path(
+                _sparsity_grad(srtmp, sr), grads, state.params
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         step = state.step + 1

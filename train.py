@@ -1,0 +1,77 @@
+"""Training CLI — one entry point covering the reference's train.py /
+train2.py / train3.py / train_dual.py (the head in the model YAML selects
+the loss family automatically).
+
+Example:
+    python train.py --cfg resnet10.yaml --data data/kitti.yaml \
+        --hyp data/hyps/hyp.scratch.yaml --epochs 300 --batch-size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import yaml
+
+
+def parse_opt():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default="resnet10.yaml", help="model yaml")
+    p.add_argument("--data", default="data/kitti.yaml", help="dataset yaml")
+    p.add_argument("--hyp", default="data/hyps/hyp.scratch.yaml")
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--optimizer", default="SGD",
+                   choices=["SGD", "Adam", "AdamW", "Lion"])
+    p.add_argument("--linear-lr", action="store_true", help="linear LR (default one-cycle)")
+    p.add_argument("--patience", type=int, default=100)
+    p.add_argument("--project", default="runs/train")
+    p.add_argument("--name", default="exp")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-labels", type=int, default=300)
+    p.add_argument("--save-period", type=int, default=-1)
+    p.add_argument("--noval", action="store_true")
+    p.add_argument("--single-cls", action="store_true")
+    return p.parse_args()
+
+
+def main(opt):
+    from ecs_yolo_tpu.train.driver import train
+    from ecs_yolo_tpu.utils.general import LOGGER
+
+    with open(opt.data) as fh:
+        data = yaml.safe_load(fh)
+    root = Path(data.get("path", "."))
+    train_path = root / data["train"]
+    val_path = None if opt.noval else root / data.get("val", data["train"])
+    hyp = {}
+    if opt.hyp and Path(opt.hyp).exists():
+        with open(opt.hyp) as fh:
+            hyp = yaml.safe_load(fh)
+
+    close_mosaic = int(hyp.pop("close_mosaic", 0)) if hyp else 0
+    LOGGER.info(f"train: cfg={opt.cfg} data={opt.data} nc={data['nc']}")
+    train(
+        cfg=opt.cfg,
+        train_path=str(train_path),
+        val_path=str(val_path) if val_path else None,
+        nc=1 if opt.single_cls else data["nc"],
+        hyp=hyp,
+        epochs=opt.epochs,
+        batch_size=opt.batch_size,
+        imgsz=opt.imgsz,
+        optimizer=opt.optimizer,
+        cos_lr=not opt.linear_lr,
+        patience=opt.patience,
+        save_dir=f"{opt.project}/{opt.name}",
+        max_labels=opt.max_labels,
+        close_mosaic=close_mosaic,
+        seed=opt.seed,
+        save_period=opt.save_period,
+    )
+
+
+if __name__ == "__main__":
+    main(parse_opt())

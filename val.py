@@ -1,0 +1,63 @@
+"""Validation CLI (reference val.py / val2.py / val3.py unified).
+
+Example:
+    python val.py --weights runs/train/exp/weights/best --cfg resnet10.yaml \
+        --data data/kitti.yaml --imgsz 640
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import yaml
+
+
+def parse_opt():
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", required=True, help="orbax checkpoint dir")
+    p.add_argument("--cfg", default="resnet10.yaml")
+    p.add_argument("--data", default="data/kitti.yaml")
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--conf-thres", type=float, default=0.001)
+    p.add_argument("--iou-thres", type=float, default=0.6)
+    p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--task", default="val", choices=["val", "test", "speed"])
+    p.add_argument("--use-ema", action="store_true", default=True)
+    return p.parse_args()
+
+
+def main(opt):
+    from ecs_yolo_tpu import val as val_mod
+    from ecs_yolo_tpu.models.yolo import build_model
+    from ecs_yolo_tpu.utils.checkpoint import load_checkpoint
+    from ecs_yolo_tpu.utils.general import LOGGER
+
+    with open(opt.data) as fh:
+        data = yaml.safe_load(fh)
+    root = Path(data.get("path", "."))
+    split = data.get(opt.task if opt.task != "speed" else "val", data["val"])
+
+    model = build_model(opt.cfg, nc=data["nc"])
+    tree, meta = load_checkpoint(opt.weights)
+    params = tree.get("ema_params") if opt.use_ema and "ema_params" in tree else tree["params"]
+    variables = {"params": params, "batch_stats": tree.get("batch_stats", {})}
+
+    results = val_mod.run(
+        model, variables, str(root / split),
+        imgsz=opt.imgsz, batch_size=opt.batch_size,
+        conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+        max_det=opt.max_det, verbose=True,
+    )
+    pre, inf, nms = results["speed"]
+    LOGGER.info(
+        f"speed: {pre:.1f}ms pre-process, {inf:.1f}ms inference, "
+        f"{nms:.1f}ms NMS per image"
+    )
+    print(json.dumps({k: v for k, v in results.items() if k != "per_class"}))
+
+
+if __name__ == "__main__":
+    main(parse_opt())
