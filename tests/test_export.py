@@ -1,0 +1,45 @@
+"""Export tests: StableHLO always; SavedModel parity when TF present."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ecs_yolo_tpu.config import SNNConfig
+from ecs_yolo_tpu.models.yolo import build_model
+from ecs_yolo_tpu import export as export_mod
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = build_model("resnet10.yaml", nc=2, snn=SNNConfig(time_window=2))
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    return m, v
+
+
+def test_stablehlo_export(model, tmp_path):
+    m, v = model
+    out = export_mod.run(m, v, include=("stablehlo",), out_dir=tmp_path,
+                         imgsz=64)
+    text = out["stablehlo"].read_text()
+    assert "stablehlo" in text or "mhlo" in text or "func.func" in text
+
+
+def test_orbax_export(model, tmp_path):
+    m, v = model
+    out = export_mod.run(m, v, include=("orbax",), out_dir=tmp_path, imgsz=64)
+    assert out["orbax"].exists()
+
+
+@pytest.mark.slow
+def test_saved_model_parity(model, tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    m, v = model
+    out = export_mod.run(
+        m, v, include=("saved_model",), out_dir=tmp_path, imgsz=64
+    )
+    loaded = tf.saved_model.load(str(out["saved_model"]))
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    tf_y = np.asarray(loaded.f(tf.constant(x)))
+    jax_y = np.asarray(m.apply(v, jnp.asarray(x), training=False)[0])
+    np.testing.assert_allclose(tf_y, jax_y, atol=1e-3, rtol=1e-3)
