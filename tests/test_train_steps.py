@@ -1,0 +1,61 @@
+"""One jit train step per head family on tiny CPU shapes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ecs_yolo_tpu.config import SNNConfig
+from ecs_yolo_tpu.models.yolo import build_model
+from ecs_yolo_tpu.train.optim import build_optimizer
+from ecs_yolo_tpu.train.trainer import create_train_state, make_train_step
+
+SNN = SNNConfig(time_window=2)
+HYP = dict(
+    box=0.05, obj=1.0, cls=0.5, cls_pw=1.0, obj_pw=1.0, anchor_t=4.0,
+    fl_gamma=0.0, label_smoothing=0.0, slide_ratio=0.0,
+)
+
+
+def one_step(cfg, sr: float = 0.0):
+    model = build_model(cfg, snn=SNN)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=64)
+    tx = build_optimizer(variables["params"], epochs=2, steps_per_epoch=2)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, HYP, sr=sr, sr_total_steps=10)
+
+    rng = np.random.RandomState(0)
+    ims = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    targets = np.zeros((2, 4, 5), np.float32)
+    targets[:, 0] = [1, 0.5, 0.5, 0.3, 0.3]
+    mask = np.zeros((2, 4), bool)
+    mask[:, 0] = True
+    params_before = jax.device_get(state.params)  # state is donated below
+    new_state, metrics = step(
+        state, ims, jnp.asarray(targets), jnp.asarray(mask)
+    )
+    return model, params_before, new_state, metrics
+
+
+@pytest.mark.parametrize(
+    "cfg", ["resnet10.yaml", "resnet18.yaml", "res10-dual.yaml", "res10v10.yaml"]
+)
+def test_head_family_train_step(cfg):
+    model, params_before, new_state, metrics = one_step(cfg)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+    # params actually changed
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - np.asarray(b)).sum()),
+        params_before,
+        jax.device_get(new_state.params),
+    )
+    assert sum(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_sparsity_step_runs():
+    # the L1 subgradient math is unit-tested in test_compression; here we
+    # check the sr>0 train-step path compiles and stays finite (at step 0
+    # the warmup LR for weight groups is exactly 0, so params can't move yet)
+    _, _, new_state, metrics = one_step("resnet10.yaml", sr=0.1)
+    assert np.isfinite(float(metrics["loss"]))
