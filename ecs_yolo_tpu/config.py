@@ -40,6 +40,9 @@ class SNNConfig:
     alpha: float = 0.75
     beta: float = 0.25
     ecs_tau: float = 5.0
+    # use the fused Pallas recurrence kernels on TPU at inference
+    # (training keeps the lax.scan formulation for its surrogate VJP)
+    fused_inference: bool = True
 
     def replace(self, **kw: Any) -> "SNNConfig":
         return dataclasses.replace(self, **kw)

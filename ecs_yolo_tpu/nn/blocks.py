@@ -124,7 +124,17 @@ class MemUpdate(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        use_fused = (
+            not training
+            and self.snn.fused_inference
+            and x.ndim == 5
+            and jax.default_backend() == "tpu"
+        )
         if not self.snn.ecs:
+            if use_fused:
+                from ..snn.pallas_kernels import lif_fused
+
+                return lif_fused(x, self.snn, act=self.act)
             return lif_scan(x, self.snn, act=self.act)
 
         c = x.shape[-1]
@@ -163,7 +173,16 @@ class MemUpdate(nn.Module):
                 + pw_bias.astype(dtype)
             )
 
-        spikes = ecs_lif_scan(x, spread, self.snn, act=self.act)
+        if use_fused:
+            from ..snn.pallas_kernels import ecs_lif_fused
+
+            spikes = ecs_lif_fused(
+                x, dw_kernel.astype(dtype), dw_bias.astype(dtype),
+                pw_kernel.astype(dtype), pw_bias.astype(dtype),
+                self.snn, act=self.act,
+            )
+        else:
+            spikes = ecs_lif_scan(x, spread, self.snn, act=self.act)
         if not self.act:
             self.sow("spike_stats", "firing_rate", jnp.mean(spikes))
         return spikes

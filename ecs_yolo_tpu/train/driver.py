@@ -56,6 +56,8 @@ def train(
     seed: int = 0,
     callbacks: Optional[Callbacks] = None,
     save_period: int = -1,
+    multi_scale: bool = False,
+    sr: float = 0.0,
 ):
     """Returns (state, best_fitness, results_history)."""
     hyp = {**HYP_SCRATCH, **(hyp or {})}
@@ -100,7 +102,21 @@ def train(
     data_s = batch_sharding(mesh)
     rep = replicated(mesh)
     state = jax.device_put(state, rep)
-    step_fn = make_train_step(model, tx, hyp, ema_decay=ema_decay)
+    step_fn = make_train_step(
+        model, tx, hyp, ema_decay=ema_decay,
+        sr=sr, sr_total_steps=epochs * steps_per_epoch,
+    )
+
+    # multi-scale: per-EPOCH size buckets in /32 steps over 0.5-1.5x imgsz
+    # (the reference resizes per batch, train.py:544-551; bucketing per epoch
+    # bounds XLA recompiles to the bucket count while keeping the capability)
+    gs = int(max(model.strides))
+    if multi_scale:
+        lo = (int(imgsz * 0.5) // gs) * gs
+        hi = (int(imgsz * 1.5) // gs) * gs
+        size_buckets = list(range(lo, hi + 1, gs))
+    else:
+        size_buckets = [imgsz]
 
     stopper = EarlyStopping(patience)
     best_fitness = 0.0
@@ -117,6 +133,12 @@ def train(
         if close_mosaic and epoch == epochs - close_mosaic:
             train_ds.hyp["mosaic"] = 0.0
             LOGGER.info("closing mosaic augmentation")
+        if multi_scale:
+            sz = size_buckets[
+                np.random.RandomState(seed + epoch).randint(len(size_buckets))
+            ]
+            train_ds.img_size = sz
+            train_ds.mosaic_border = [-sz // 2, -sz // 2]
         t0 = time.time()
         mloss = np.zeros(3)
         nb = 0

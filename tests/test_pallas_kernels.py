@@ -1,0 +1,92 @@
+"""Fused Pallas kernels vs the lax.scan reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ecs_yolo_tpu.config import SNNConfig
+from ecs_yolo_tpu.snn.neuron import lif_scan, ecs_lif_scan
+from ecs_yolo_tpu.snn.pallas_kernels import lif_fused, ecs_lif_fused
+
+CFG = SNNConfig()
+
+
+class TestLIFFused:
+    @pytest.mark.parametrize("act", [False, True])
+    def test_matches_scan(self, act):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(4, 2, 9, 10, 7).astype(np.float32))
+        want = np.asarray(lif_scan(x, CFG, act=act))
+        got = np.asarray(lif_fused(x, CFG, act=act, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_nonaligned_size(self):
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 3, 5, 7, 3).astype(np.float32))
+        want = np.asarray(lif_scan(x, CFG))
+        got = np.asarray(lif_fused(x, CFG, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestECSFused:
+    def _params(self, c, seed=0):
+        rng = np.random.RandomState(seed)
+        dw = (rng.randn(3, 3, 1, c) * 0.2).astype(np.float32)
+        dwb = (rng.randn(c) * 0.1).astype(np.float32)
+        pw = (rng.randn(1, 1, c, c) * 0.2).astype(np.float32)
+        pwb = (rng.randn(c) * 0.1).astype(np.float32)
+        return dw, dwb, pw, pwb
+
+    def _scan_ref(self, x, dw, dwb, pw, pwb, act):
+        c = x.shape[-1]
+
+        def spread(s):
+            d = jax.lax.conv_general_dilated(
+                s, jnp.asarray(dw), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+            ) + dwb
+            return jax.lax.conv_general_dilated(
+                d, jnp.asarray(pw), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + pwb
+
+        return ecs_lif_scan(x, spread, CFG, act=act)
+
+    @pytest.mark.parametrize("act", [True, False])
+    def test_matches_scan_single_block(self, act):
+        # H small enough for one row block: halo logic exercised at edges
+        rng = np.random.RandomState(2)
+        t, n, h, w, c = 4, 1, 8, 6, 4
+        x = jnp.asarray((rng.randn(t, n, h, w, c) * 0.7).astype(np.float32))
+        dw, dwb, pw, pwb = self._params(c)
+        want = np.asarray(self._scan_ref(x, dw, dwb, pw, pwb, act))
+        got = np.asarray(
+            ecs_lif_fused(
+                x, jnp.asarray(dw), jnp.asarray(dwb), jnp.asarray(pw),
+                jnp.asarray(pwb), CFG, act=act, interpret=True,
+            )
+        )
+        if act:
+            np.testing.assert_allclose(got, want, atol=2e-4)
+        else:
+            assert np.mean(got != want) < 0.02  # heaviside boundary flips
+
+    def test_matches_scan_multi_block(self, monkeypatch):
+        # force several row blocks so the halo-recompute path is exercised
+        import ecs_yolo_tpu.snn.pallas_kernels as pk
+
+        monkeypatch.setattr(pk, "_pick_block_rows", lambda *a, **k: 8)
+        rng = np.random.RandomState(3)
+        t, n, h, w, c = 4, 2, 29, 6, 4
+        x = jnp.asarray((rng.randn(t, n, h, w, c) * 0.7).astype(np.float32))
+        dw, dwb, pw, pwb = self._params(c, seed=4)
+        want = np.asarray(self._scan_ref(x, dw, dwb, pw, pwb, True))
+        got = np.asarray(
+            pk.ecs_lif_fused(
+                x, jnp.asarray(dw), jnp.asarray(dwb), jnp.asarray(pw),
+                jnp.asarray(pwb), CFG, act=True, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4)
