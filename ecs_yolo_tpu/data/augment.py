@@ -171,22 +171,27 @@ def random_perspective(
     M = T @ S @ R @ P @ C
     changed = (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any()
     if changed:
-        # PIL's transform maps OUTPUT coords -> INPUT coords, so pass M^-1
+        # warp maps OUTPUT coords -> INPUT coords, so use M^-1
         Minv = np.linalg.inv(M)
-        pil = Image.fromarray(im)
-        if perspective:
-            coeffs = (Minv / Minv[2, 2]).reshape(-1)[:8]
-            pil = pil.transform(
-                (width, height), Image.PERSPECTIVE, tuple(coeffs),
-                resample=Image.BILINEAR, fillcolor=(114, 114, 114),
-            )
+        from .. import native
+
+        if native.is_available():
+            im = native.warp_perspective(im, Minv, (height, width))
         else:
-            coeffs = Minv[:2].reshape(-1)
-            pil = pil.transform(
-                (width, height), Image.AFFINE, tuple(coeffs),
-                resample=Image.BILINEAR, fillcolor=(114, 114, 114),
-            )
-        im = np.asarray(pil)
+            pil = Image.fromarray(im)
+            if perspective:
+                coeffs = (Minv / Minv[2, 2]).reshape(-1)[:8]
+                pil = pil.transform(
+                    (width, height), Image.PERSPECTIVE, tuple(coeffs),
+                    resample=Image.BILINEAR, fillcolor=(114, 114, 114),
+                )
+            else:
+                coeffs = Minv[:2].reshape(-1)
+                pil = pil.transform(
+                    (width, height), Image.AFFINE, tuple(coeffs),
+                    resample=Image.BILINEAR, fillcolor=(114, 114, 114),
+                )
+            im = np.asarray(pil)
 
     n = len(targets)
     if n:

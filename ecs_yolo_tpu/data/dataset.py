@@ -279,7 +279,7 @@ class Dataset:
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
                 drop_last: bool = True):
         """Yield (images [B,H,W,3], labels [B,M,5], masks [B,M]) batches."""
-        order = np.arange(self.n)
+        order = np.array(self.indices)  # image_weights may resample these
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
         end = self.n - (self.n % batch_size) if drop_last else self.n

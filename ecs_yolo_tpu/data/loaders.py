@@ -21,6 +21,129 @@ from .augment import letterbox
 from .dataset import IMG_FORMATS
 
 
+VID_FORMATS = {"mp4", "avi", "mov", "mkv", "gif", "webm"}
+
+
+class LoadVideo:
+    """Video-file frame iterator via imageio (reference LoadImages' video
+    branch, utils/datasets.py:226-270)."""
+
+    def __init__(self, path, img_size: int = 640, stride: int = 32,
+                 vid_stride: int = 1):
+        import imageio.v3 as iio
+
+        self.path = str(path)
+        self._iio = iio
+        self.img_size = img_size
+        self.stride = stride
+        self.vid_stride = vid_stride
+
+    def __iter__(self):
+        for i, frame in enumerate(self._iio.imiter(self.path)):
+            if i % self.vid_stride:
+                continue
+            im0 = np.asarray(frame)[..., :3]
+            im, _, _ = letterbox(im0, self.img_size, stride=self.stride,
+                                 auto=False)
+            yield f"{self.path}#{i}", (im.astype(np.float32) / 255.0)[None], im0
+
+
+class LoadStreams:
+    """Threaded multi-source stream reader (reference LoadStreams,
+    utils/datasets.py:283-368): one daemon reader thread per source keeps
+    the latest frame; iteration yields synchronized batches.
+
+    Sources are URLs / camera indices / video files readable by imageio.
+    """
+
+    def __init__(self, sources, img_size: int = 640, stride: int = 32):
+        import threading
+        import imageio.v3 as iio
+
+        if isinstance(sources, str):
+            p = Path(sources)
+            sources = (
+                p.read_text().strip().splitlines() if p.is_file() and
+                p.suffix == ".txt" else [sources]
+            )
+        self.sources = list(sources)
+        self.img_size = img_size
+        self.stride = stride
+        self.frames = [None] * len(self.sources)
+        self.running = True
+        self.threads = []
+        for i, src in enumerate(self.sources):
+            def reader(i=i, src=src):
+                try:
+                    for frame in iio.imiter(src):
+                        if not self.running:
+                            return
+                        self.frames[i] = np.asarray(frame)[..., :3]
+                except Exception as e:
+                    from ..utils.general import LOGGER
+
+                    LOGGER.info(f"stream {src} ended: {e}")
+
+            t = threading.Thread(target=reader, daemon=True)
+            t.start()
+            self.threads.append(t)
+
+    def __iter__(self):
+        import time as _time
+
+        while self.running and any(t.is_alive() for t in self.threads):
+            if any(f is None for f in self.frames):
+                _time.sleep(0.01)
+                continue
+            ims0 = [f.copy() for f in self.frames]
+            ims = np.stack(
+                [
+                    letterbox(f, self.img_size, stride=self.stride, auto=False)[0]
+                    for f in ims0
+                ]
+            ).astype(np.float32) / 255.0
+            yield self.sources, ims, ims0
+
+    def close(self):
+        self.running = False
+
+
+class ClassificationDataset:
+    """ImageFolder-style classification dataset (reference
+    utils/dataloaders.py:1159): root/<class_name>/*.jpg."""
+
+    def __init__(self, root, img_size: int = 224):
+        root = Path(root)
+        self.classes = sorted(d.name for d in root.iterdir() if d.is_dir())
+        self.samples = [
+            (str(f), ci)
+            for ci, cname in enumerate(self.classes)
+            for f in sorted((root / cname).glob("*.*"))
+            if f.suffix[1:].lower() in IMG_FORMATS
+        ]
+        assert self.samples, f"no classified images under {root}"
+        self.img_size = img_size
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        path, ci = self.samples[i]
+        im = Image.open(path).convert("RGB").resize(
+            (self.img_size, self.img_size), Image.BILINEAR
+        )
+        return np.asarray(im).astype(np.float32) / 255.0, ci
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0):
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        for i in range(0, len(self) - batch_size + 1, batch_size):
+            idx = order[i : i + batch_size]
+            ims, cls = zip(*(self[int(j)] for j in idx))
+            yield np.stack(ims), np.array(cls)
+
+
 class LoadImages:
     """File/dir/glob image iterator with letterbox preprocessing."""
 

@@ -165,7 +165,7 @@ def _ecs_kernel(
         out_ref[t, 0] = spike[halo : rb - halo].astype(out_ref.dtype)
 
 
-def _pick_block_rows(h, w, c, t, budget_bytes=11 * 2**20, halo=3):
+def _pick_block_rows(h, w, c, t, budget_bytes=int(6.5 * 2**20), halo=3):
     """Largest row block whose VMEM footprint fits.
 
     The unrolled T-step body keeps ~8 live f32 (rb, W, C) buffers (x step,

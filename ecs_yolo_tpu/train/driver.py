@@ -58,6 +58,8 @@ def train(
     save_period: int = -1,
     multi_scale: bool = False,
     sr: float = 0.0,
+    resume: Optional[str] = None,
+    image_weights: bool = False,
 ):
     """Returns (state, best_fitness, results_history)."""
     hyp = {**HYP_SCRATCH, **(hyp or {})}
@@ -120,7 +122,32 @@ def train(
 
     stopper = EarlyStopping(patience)
     best_fitness = 0.0
+    start_epoch = 0
     history = []
+    if resume:
+        # reference `--resume` / smart_resume (train.py:876-886,
+        # utils/torch_utils2.py:458): restore params/opt/EMA + epoch counters
+        from ..utils.checkpoint import load_checkpoint
+        from .trainer import TrainState
+
+        tree, meta = load_checkpoint(resume, template=None)
+        state = TrainState(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=jax.tree_util.tree_map(
+                lambda a, b: jnp.asarray(b).astype(a.dtype)
+                if hasattr(a, "dtype") else b,
+                state.opt_state, tree["opt_state"],
+            ),
+            ema_params=tree["ema_params"],
+            step=jnp.asarray(tree["step"], jnp.int32),
+        )
+        state = jax.device_put(state, rep)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_fitness = float(meta.get("best_fitness", 0.0))
+        stopper.best_fitness = best_fitness
+        stopper.best_epoch = start_epoch - 1
+        LOGGER.info(f"resumed from {resume} at epoch {start_epoch}")
     csv_path = Path(save_dir) / "results.csv"
     LOGGER.info(
         f"training {cfg} (head {model.head_name}) for {epochs} epochs, "
@@ -128,8 +155,25 @@ def train(
     )
     callbacks.run("on_train_start")
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         callbacks.run("on_train_epoch_start")
+        if image_weights:
+            # class-aware resampling (reference train.py image_weights):
+            # images with rare/poorly-performing classes get sampled more
+            cw = np.ones(model.nc)
+            if history and history[-1].get("per_class"):
+                for c, (_, _, a5, _) in history[-1]["per_class"].items():
+                    cw[int(c)] = (1 - a5) ** 2
+            iw = np.array(
+                [
+                    cw[lb[:, 0].astype(int)].sum() if len(lb) else 0.1
+                    for lb in train_ds.labels
+                ]
+            )
+            iw = iw / iw.sum()
+            train_ds.indices = np.random.RandomState(seed + epoch).choice(
+                train_ds.n, size=train_ds.n, p=iw
+            )
         if close_mosaic and epoch == epochs - close_mosaic:
             train_ds.hyp["mosaic"] = 0.0
             LOGGER.info("closing mosaic augmentation")
