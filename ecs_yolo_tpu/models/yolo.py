@@ -26,6 +26,7 @@ import yaml
 from ..config import SNNConfig, DEFAULT_SNN
 from ..nn import blocks as B
 from ..nn import blocks_ext as BX
+from ..nn import blocks_tail as BT
 from ..nn import heads as H
 
 YAML_DIR = Path(__file__).parent / "yaml"
@@ -74,11 +75,29 @@ C2_BLOCKS = {
     "MHSA": BX.MHSA,
     "BottleneckTransformer": BX.BottleneckTransformer,
     "BoT3": BX.BoT3,
+    # long tail (nn/blocks_tail.py)
+    "Bottleneck_1": BT.Bottleneck_1,
+    "Bottleneck_2": BT.Bottleneck_2,
+    "Bottleneck_3": BT.Bottleneck_3,
+    "Bottleneck_4": BT.Bottleneck_4,
+    "BasicBlock_3": BT.BasicBlock_3,
+    "BasicBlock_4": BT.BasicBlock_4,
+    "BasicBlock_5": BT.BasicBlock_5,
+    "BasicBlock_ms": BT.BasicBlock_ms,
+    "ConcatBlock_ms": BT.ConcatBlock_ms,
+    "Concat_res3": BT.Concat_res3,
+    "Concat_res4": BT.Concat_res4,
+    "Concat_res5": BT.Concat_res5,
+    "Concat_res6": BT.Concat_res6,
+    "DualConv": BT.DualConv,
+    "MobileNetV3": BT.MobileNetV3,
+    "C3TR": BT.C3TR,
+    "TransformerBlock": BT.TransformerBlock,
 }
 
 # blocks that repeat n times by inserting the count as the arg after c2
 # (reference models/yolo.py:489-494)
-CSP_N_BLOCKS = {"BottleneckCSP", "C3", "C3Ghost", "C2f", "RepC3", "BoT3"}
+CSP_N_BLOCKS = {"BottleneckCSP", "C3", "C3Ghost", "C2f", "RepC3", "BoT3", "C3TR"}
 
 # blocks that keep the input channel count; args passed through verbatim
 PASS_BLOCKS = {
@@ -92,6 +111,11 @@ PASS_BLOCKS = {
     "DSSA": BX.DSSA,
     "SELayer": BX.SELayer,
     "Silence": BX.Silence,
+    "FasterNetBlock": BT.FasterNetBlock,
+    "ELA": BT.ELA,
+    "CoT": BT.CoT,
+    "ScConv": BT.ScConv,
+    "PartialConv": BT.PartialConv,
 }
 
 HEADS = {
@@ -110,14 +134,17 @@ EXTRA_BLOCKS = {
     "CBFuse": BX.CBFuse,
     "ASFF2": BX.ASFF2,
     "ASFF3": BX.ASFF3,
+    "ContextGuideFusionModule": BT.ContextGuideFusionModule,
+    "HGBlock": BT.HGBlock,
 }
 
 SNN_AWARE = (
     set(C2_BLOCKS)
     | {"mem_update", "Conv_7", "AIFI", "EMA", "DSSA", "SELayer",
-       "CBLinear", "ASFF2", "ASFF3"}
+       "CBLinear", "ASFF2", "ASFF3", "FasterNetBlock", "ELA", "CoT",
+       "ScConv", "HGBlock", "ContextGuideFusionModule"}
     | set(HEADS)
-) - {"Contract", "Expand", "Silence", "CBFuse", "DropPath"}
+) - {"Contract", "Expand", "Silence", "CBFuse", "DropPath", "PartialConv"}
 
 
 def make_divisible(x, divisor: int = 8):
@@ -192,6 +219,15 @@ def parse_model(
             args = [tuple(args[0]) if args else ()]
         elif name in ("ASFF2", "ASFF3"):
             c2 = chs[f[args[0]]] if isinstance(f, (list, tuple)) else chs[f]
+        elif name == "ContextGuideFusionModule":
+            c2 = 2 * chs[f[1]]
+        elif name == "HGBlock":
+            # args: [cm, c2, k, ...] with repeat count inserted (ref :527)
+            cm, c2 = args[0], args[1]
+            args = [cm, c2, *args[2:]]
+            if n > 1:
+                args.insert(3, n)
+                n = 1
         elif name == "Concat":
             c2 = sum(chs[x] for x in f)
         elif name in HEADS:

@@ -64,7 +64,59 @@ PASS_INPUT = {
     "DSSA": ((4,), None),
     "SELayer": ((4,), None),
     "Silence": ((), None),
+    "FasterNetBlock": ((2,), None),
+    "ELA": ((7,), None),
+    "CoT": ((3,), None),
+    "ScConv": ((16,), None),
+    "PartialConv": ((4,), None),
 }
+
+TAIL_INPUT = {
+    "Bottleneck_1": ((24, 2), 24),
+    "Bottleneck_2": ((24, 3, 2), 96),   # out = e*c2
+    "Bottleneck_3": ((24, 3, 2), 24),
+    "Bottleneck_4": ((24, 3, 2), 24),
+    "BasicBlock_3": ((24, 3, 2), 24),
+    "BasicBlock_4": ((24, 3, 2), 24),
+    "BasicBlock_5": ((24, 3, 2), 24),
+    "BasicBlock_ms": ((24, 3, 2), 24),
+    "ConcatBlock_ms": ((24, 3, 2), 24),
+    "Concat_res3": ((24, 3, 2), 24),
+    "Concat_res4": ((24, 3, 2), 24),
+    "Concat_res5": ((24, 3, 2), 24),
+    "Concat_res6": ((32, 3, 2), 32),
+    "DualConv": ((24, 2), 24),
+    "MobileNetV3": ((24, 32, 3, 2), 24),
+    "C3TR": ((24, 1), 24),
+    "TransformerBlock": ((16, 4), 16),
+}
+
+
+@pytest.mark.parametrize("name", sorted(TAIL_INPUT))
+def test_tail_block(name):
+    args, c_out = TAIL_INPUT[name]
+    mod = _make(name, args)
+    variables = mod.init(KEY, X, training=False)
+    y = mod.apply(variables, X, training=False)
+    assert y.shape[0] == T and y.shape[1] == N
+    if c_out is not None:
+        assert y.shape[-1] == c_out, f"{name}: {y.shape}"
+    assert bool(jnp.isfinite(y).all()), name
+
+
+def test_context_guide_fusion():
+    mod = _make("ContextGuideFusionModule", ())
+    x1 = jnp.asarray(np.random.RandomState(7).randn(T, N, H, W, 8), jnp.float32)
+    v = mod.init(KEY, [X, x1], training=False)
+    y = mod.apply(v, [X, x1], training=False)
+    assert y.shape[-1] == 16
+
+
+def test_hgblock():
+    mod = _make("HGBlock", (8, 24, 3, 2))
+    v = mod.init(KEY, X, training=False)
+    y = mod.apply(v, X, training=False)
+    assert y.shape[-1] == 24
 
 
 def _make(name, args):
