@@ -118,7 +118,9 @@ def _ecs_kernel(
     rb, w, c = xw_ref.shape[3], xw_ref.shape[4], xw_ref.shape[5]
     xb = xw_ref[:, 0, 0]  # [T, RB, W, C]
 
-    f32 = jnp.float32
+    # compute in the input dtype (bf16 at inference) — the same precision the
+    # lax.scan path uses; the pointwise matmul still accumulates in f32
+    f32 = xb.dtype
     mem = jnp.zeros((rb, w, c), f32)
     spike = jnp.zeros((rb, w, c), f32)
     ecs = jnp.zeros((rb, w, c), f32)
@@ -145,7 +147,7 @@ def _ecs_kernel(
 
     for t in range(t_steps):
         fecs = beta * jnp.tanh(ecs)
-        mem = mem * decay * (1.0 - spike) + xb[t].astype(f32) + fecs
+        mem = mem * decay * (1.0 - spike) + xb[t] + fecs
         spike = _spike(mem, thresh, act)
         # zero out padded (non-image) rows so the 3x3 sees true zero padding
         spike = spike * rowmask
@@ -159,22 +161,22 @@ def _ecs_kernel(
         d = d + dwb
         # pointwise 1x1 = (rb*w, C) @ (C, C) on the MXU
         p = jnp.dot(
-            d.reshape(rb * w, c), pwk, preferred_element_type=f32
-        ).reshape(rb, w, c) + pwb
+            d.reshape(rb * w, c), pwk, preferred_element_type=jnp.float32
+        ).astype(f32).reshape(rb, w, c) + pwb
         ecs = alpha * p + leak * ecs
         out_ref[t, 0] = spike[halo : rb - halo].astype(out_ref.dtype)
 
 
-def _pick_block_rows(h, w, c, t, budget_bytes=int(6.5 * 2**20), halo=3):
+def _pick_block_rows(h, w, c, t, budget_bytes=int(6.5 * 2**20), halo=3,
+                     dtype_bytes=2):
     """Largest row block whose VMEM footprint fits.
 
-    The unrolled T-step body keeps ~8 live f32 (rb, W, C) buffers (x step,
-    mem, spike, ecs, fecs, conv accumulators, matmul operands), so budget
-    on 8 * 4 bytes per element.  In the EMS backbones W*C is constant
-    (W halves while C doubles), so this lands on the same block size at
-    every depth.
+    The unrolled T-step body keeps ~8 live (rb, W, C) buffers in the compute
+    dtype (x step, mem, spike, ecs, fecs, conv accumulators, matmul
+    operands).  In the EMS backbones W*C is constant (W halves while C
+    doubles), so this lands on the same block size at every depth.
     """
-    per_row = 8 * 4 * w * c
+    per_row = 8 * dtype_bytes * w * c
     br = max(4, int(budget_bytes / max(per_row, 1)) - 2 * halo)
     return min(br, h)
 
@@ -193,7 +195,7 @@ def ecs_lif_fused(
     halo = t - 1
     leak = 1.0 - 1.0 / cfg.ecs_tau
 
-    br = _pick_block_rows(h, w, c, t, halo=halo)
+    br = _pick_block_rows(h, w, c, t, halo=halo, dtype_bytes=x.dtype.itemsize)
     n_blocks = (h + br - 1) // br
     h_pad = n_blocks * br
     rb = br + 2 * halo
