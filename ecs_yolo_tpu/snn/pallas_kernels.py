@@ -36,7 +36,8 @@ from ..config import SNNConfig
 def _spike(mem, thresh: float, act: bool):
     if act:
         return jax.nn.silu(mem)
-    return (mem > thresh).astype(mem.dtype)
+    # Mosaic lacks bf16 compare on some targets — compare in f32
+    return (mem.astype(jnp.float32) > thresh).astype(mem.dtype)
 
 
 # ---------------------------------------------------------------------------
