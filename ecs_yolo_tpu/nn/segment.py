@@ -1,0 +1,127 @@
+"""Segmentation / panoptic heads (reference models/yolo_snn.py:450-497).
+
+The reference inherits these YOLOv9 heads without SNN awareness and ships no
+YAML using them (SURVEY §2.3); here they are rebuilt on the spiking DDetect
+towers with mean-over-T rate collapse so they run on the same [T,N,H,W,C]
+features as everything else.
+
+Training output: (det_feats, mask_coeffs [N, nm, A], protos [N, ph, pw, nm])
+— plus a semantic map for Panoptic.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import SNNConfig, DEFAULT_SNN
+from .blocks import SnnConv, Conv, Sample
+from .heads import DDetect, _mean_t, _DFLTower, _ClsTower, _decode_dfl, make_divisible
+from .blocks import DFL
+
+
+class Proto(nn.Module):
+    """Mask prototype generator (reference Proto): conv -> up2 -> conv -> 1x1."""
+
+    npr: int = 256
+    nm: int = 32
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = Conv(self.npr, 3, snn=self.snn, name="cv1")(x, training)
+        y = Sample(None, 2, "nearest", name="up")(y, training)
+        y = Conv(self.npr // 2, 3, snn=self.snn, name="cv2")(y, training)
+        y = Conv(self.nm, 1, snn=self.snn, name="cv3")(y, training)
+        return _mean_t(y)  # [N, ph, pw, nm]
+
+
+class Segment(nn.Module):
+    """Instance segmentation head: DDetect + mask coefficients + protos."""
+
+    nc: int = 80
+    nm: int = 32
+    npr: int = 256
+    reg_max: int = 16
+    strides: Tuple[float, ...] = ()
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], training: bool = False):
+        ch0 = xs[0].shape[-1]
+        c2 = make_divisible(max(ch0 // 4, self.reg_max * 4, 16), 4)
+        c3 = max(ch0, min(self.nc * 2, 128))
+        c4 = max(ch0 // 4, self.nm)
+
+        protos = Proto(self.npr, self.nm, snn=self.snn, name="proto")(
+            xs[0], training
+        )
+        mcs = []
+        feats = []
+        for i, x in enumerate(xs):
+            box = _mean_t(_DFLTower(c2, self.reg_max, self.snn, name=f"cv2_{i}")(x, training))
+            cls = _mean_t(_ClsTower(c3, self.nc, self.snn, name=f"cv3_{i}")(x, training))
+            feats.append(
+                jnp.concatenate([box, cls], axis=-1).transpose(0, 3, 1, 2)
+            )
+            m = Conv(c4, 3, snn=self.snn, name=f"cv4_{i}_0")(x, training)
+            m = Conv(c4, 3, snn=self.snn, name=f"cv4_{i}_1")(m, training)
+            m = _mean_t(SnnConv(self.nm, 1, use_bias=True, name=f"cv4_{i}_2")(m))
+            n = m.shape[0]
+            mcs.append(m.reshape(n, -1, self.nm).transpose(0, 2, 1))
+        mc = jnp.concatenate(mcs, axis=2)  # [N, nm, A]
+
+        dfl = DFL(self.reg_max, name="dfl")
+        if training:
+            return feats, mc, protos
+        y = _decode_dfl(feats, self.nc, self.reg_max, self.strides, dfl, training)
+        return jnp.concatenate([y, mc], axis=1), (feats, mc, protos)
+
+
+def crop_mask(masks, boxes):
+    """Zero mask pixels outside the box (reference utils/segment/general.py).
+    masks [N, h, w], boxes xyxy in mask coords."""
+    h, w = masks.shape[1:3]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    x1, y1, x2, y2 = (boxes[:, i][:, None, None] for i in range(4))
+    keep = (xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2)
+    return masks * keep
+
+
+def segment_mask_loss(
+    mc: jax.Array,  # [N, nm, A]
+    protos: jax.Array,  # [N, ph, pw, nm]
+    fg_mask: jax.Array,  # [N, A]
+    target_gt_idx: jax.Array,  # [N, A]
+    gt_masks: jax.Array,  # [N, M, ph, pw]
+    target_bboxes: jax.Array,  # [N, A, 4] xyxy in input pixels
+    stride0: float,
+):
+    """Proto-coefficient mask BCE (reference utils/segment/loss_tal.py):
+    pred_mask = sigma(protos @ coeff), BCE vs the assigned gt mask, cropped
+    to the assigned box, normalized by box area."""
+    n, ph, pw, nm = protos.shape
+    pred = jnp.einsum("nhwm,nma->nahw", protos, mc)  # logits [N, A, ph, pw]
+    tgt = jnp.take_along_axis(
+        gt_masks, target_gt_idx[:, :, None, None], axis=1
+    )  # [N, A, ph, pw]
+    bce = jnp.maximum(pred, 0) - pred * tgt + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+    # crop to assigned boxes (in proto coords: stride0 / 2 upsample factor)
+    scale = 2.0 / stride0
+    boxes_m = target_bboxes * scale
+    crop = crop_mask(
+        bce.reshape(n * pred.shape[1], ph, pw),
+        boxes_m.reshape(-1, 4),
+    ).reshape(bce.shape)
+    area = jnp.clip(
+        (boxes_m[..., 2] - boxes_m[..., 0]) * (boxes_m[..., 3] - boxes_m[..., 1]),
+        1.0,
+    )
+    per_anchor = crop.sum(axis=(2, 3)) / area
+    return jnp.where(fg_mask, per_anchor, 0.0).sum() / jnp.maximum(
+        fg_mask.sum(), 1
+    )

@@ -117,11 +117,10 @@ def _ecs_kernel(
 ):
     j = pl.program_id(1)
     rb, w, c = xw_ref.shape[3], xw_ref.shape[4], xw_ref.shape[5]
-    xb = xw_ref[:, 0, 0]  # [T, RB, W, C]
 
     # compute in the input dtype (bf16 at inference) — the same precision the
     # lax.scan path uses; the pointwise matmul still accumulates in f32
-    f32 = xb.dtype
+    f32 = xw_ref.dtype
     mem = jnp.zeros((rb, w, c), f32)
     spike = jnp.zeros((rb, w, c), f32)
     ecs = jnp.zeros((rb, w, c), f32)
@@ -146,9 +145,13 @@ def _ecs_kernel(
             a = jnp.concatenate([a[:, -dx:], jnp.zeros((rb, -dx, c), f32)], 1)
         return a
 
-    for t in range(t_steps):
+    # rolled T loop (fori_loop) keeps only ONE step's buffers live in VMEM;
+    # a python-unrolled loop made Mosaic stack-allocate every step's
+    # temporaries simultaneously (~26 live (rb,W,C) buffers -> VMEM OOM)
+    def body(t, carry):
+        mem, spike, ecs = carry
         fecs = beta * jnp.tanh(ecs)
-        mem = mem * decay * (1.0 - spike) + xb[t] + fecs
+        mem = mem * decay * (1.0 - spike) + xw_ref[t, 0, 0] + fecs
         spike = _spike(mem, thresh, act)
         # zero out padded (non-image) rows so the 3x3 sees true zero padding
         spike = spike * rowmask
@@ -166,6 +169,9 @@ def _ecs_kernel(
         ).astype(f32).reshape(rb, w, c) + pwb
         ecs = alpha * p + leak * ecs
         out_ref[t, 0] = spike[halo : rb - halo].astype(out_ref.dtype)
+        return mem, spike, ecs
+
+    jax.lax.fori_loop(0, t_steps, body, (mem, spike, ecs))
 
 
 def _pick_block_rows(h, w, c, t, budget_bytes=int(6.5 * 2**20), halo=3,
