@@ -249,6 +249,9 @@ def ecs_lif_fused(
             (t, 1, br, w, c), lambda i, j: (0, i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=interpret,
     )(
         xw,

