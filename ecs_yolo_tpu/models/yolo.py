@@ -27,6 +27,7 @@ from ..config import SNNConfig, DEFAULT_SNN
 from ..nn import blocks as B
 from ..nn import blocks_ext as BX
 from ..nn import blocks_tail as BT
+from ..nn import experimental as BE
 from ..nn import heads as H
 
 YAML_DIR = Path(__file__).parent / "yaml"
@@ -93,6 +94,8 @@ C2_BLOCKS = {
     "MobileNetV3": BT.MobileNetV3,
     "C3TR": BT.C3TR,
     "TransformerBlock": BT.TransformerBlock,
+    "CrossConv": BE.CrossConv,
+    "MixConv2d": BE.MixConv2d,
 }
 
 # blocks that repeat n times by inserting the count as the arg after c2
@@ -136,6 +139,7 @@ EXTRA_BLOCKS = {
     "ASFF3": BX.ASFF3,
     "ContextGuideFusionModule": BT.ContextGuideFusionModule,
     "HGBlock": BT.HGBlock,
+    "Sum": BE.Sum,
 }
 
 SNN_AWARE = (
@@ -221,6 +225,8 @@ def parse_model(
             c2 = chs[f[args[0]]] if isinstance(f, (list, tuple)) else chs[f]
         elif name == "ContextGuideFusionModule":
             c2 = 2 * chs[f[1]]
+        elif name == "Sum":
+            c2 = chs[f[0]]
         elif name == "HGBlock":
             # args: [cm, c2, k, ...] with repeat count inserted (ref :527)
             cm, c2 = args[0], args[1]

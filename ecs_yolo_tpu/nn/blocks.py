@@ -145,18 +145,28 @@ class MemUpdate(nn.Module):
         pwb = pw_bias.astype(dtype)
 
         def spread(s: jax.Array) -> jax.Array:
-            # depthwise 3x3 as 9 shifted multiply-adds: XLA fuses these into
-            # the scan body's elementwise chain, measuring ~25% faster than
-            # a conv_general_dilated depthwise on v5e; the 1x1 mix runs as a
-            # plain matmul on the MXU
             n, h, w, _ = s.shape
-            p = jnp.pad(s, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            d = jnp.zeros_like(s)
-            for dy in range(3):
-                for dx in range(3):
-                    d = d + p[:, dy : dy + h, dx : dx + w, :] * dwk[dy, dx, 0]
-            d = d + dwb
-            return (d.reshape(-1, c) @ pwm).reshape(s.shape) + pwb
+            if c <= 128 and h * w >= 64 * 64:
+                # wide shallow maps: depthwise 3x3 as 9 shifted multiply-adds
+                # fuses into the scan's elementwise chain (~25% faster than
+                # the conv kernel on v5e); 1x1 mix as a plain MXU matmul
+                p = jnp.pad(s, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                d = jnp.zeros_like(s)
+                for dy in range(3):
+                    for dx in range(3):
+                        d = d + p[:, dy : dy + h, dx : dx + w, :] * dwk[dy, dx, 0]
+                d = d + dwb
+                return (d.reshape(-1, c) @ pwm).reshape(s.shape) + pwb
+            # deep narrow maps: XLA's conv kernels win
+            d = jax.lax.conv_general_dilated(
+                s, dw_kernel.astype(dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+            ) + dwb
+            return jax.lax.conv_general_dilated(
+                d, pw_kernel.astype(dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + pwb
 
         # NOTE: a fused Pallas ECS kernel exists (snn/pallas_kernels.py) but
         # currently measures 2.4x slower than XLA's scan on v5e (concat-based
