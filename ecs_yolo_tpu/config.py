@@ -40,9 +40,10 @@ class SNNConfig:
     alpha: float = 0.75
     beta: float = 0.25
     ecs_tau: float = 5.0
-    # use the fused Pallas recurrence kernels on TPU at inference
-    # (training keeps the lax.scan formulation for its surrogate VJP)
-    fused_inference: bool = True
+    # experimental: fused Pallas recurrence kernels (snn/pallas_kernels.py).
+    # Currently OFF the hot path — measured slower than XLA's fused unrolled
+    # scan on v5e (see docs/DESIGN.md); kept for further Mosaic tuning.
+    fused_inference: bool = False
 
     def replace(self, **kw: Any) -> "SNNConfig":
         return dataclasses.replace(self, **kw)

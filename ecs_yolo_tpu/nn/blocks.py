@@ -139,25 +139,13 @@ class MemUpdate(nn.Module):
         )
         pw_bias = self.param("spread_pw_bias", make_bias_init(pw_fan_in), (c,))
         dtype = x.dtype
-        dwk = dw_kernel.astype(dtype)
         dwb = dw_bias.astype(dtype)
-        pwm = pw_kernel.astype(dtype).reshape(c, c)
         pwb = pw_bias.astype(dtype)
 
+        # NOTE: a shift-add depthwise measured 25% faster in an ISOLATED
+        # stem-layer micro-benchmark but 20% slower in full-model context
+        # (it breaks XLA's cross-layer fusion) — the conv kernels stay.
         def spread(s: jax.Array) -> jax.Array:
-            n, h, w, _ = s.shape
-            if c <= 128 and h * w >= 64 * 64:
-                # wide shallow maps: depthwise 3x3 as 9 shifted multiply-adds
-                # fuses into the scan's elementwise chain (~25% faster than
-                # the conv kernel on v5e); 1x1 mix as a plain MXU matmul
-                p = jnp.pad(s, ((0, 0), (1, 1), (1, 1), (0, 0)))
-                d = jnp.zeros_like(s)
-                for dy in range(3):
-                    for dx in range(3):
-                        d = d + p[:, dy : dy + h, dx : dx + w, :] * dwk[dy, dx, 0]
-                d = d + dwb
-                return (d.reshape(-1, c) @ pwm).reshape(s.shape) + pwb
-            # deep narrow maps: XLA's conv kernels win
             d = jax.lax.conv_general_dilated(
                 s, dw_kernel.astype(dtype), (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
