@@ -28,6 +28,7 @@ from ..nn import blocks as B
 from ..nn import blocks_ext as BX
 from ..nn import blocks_tail as BT
 from ..nn import experimental as BE
+from ..nn import blocks_v9 as BV
 from ..nn import heads as H
 
 YAML_DIR = Path(__file__).parent / "yaml"
@@ -96,11 +97,20 @@ C2_BLOCKS = {
     "TransformerBlock": BT.TransformerBlock,
     "CrossConv": BE.CrossConv,
     "MixConv2d": BE.MixConv2d,
+    # YOLOv9 family (nn/blocks_v9.py)
+    "RepConvN": BV.RepConvN,
+    "RepNBottleneck": BV.RepNBottleneck,
+    "RepNCSP": BV.RepNCSP,
+    "RepNCSPELAN4": BV.RepNCSPELAN4,
+    "BasicBlock_2C3": BV.BasicBlock_2C3,
+    "BasicBlock_1C3": BV.BasicBlock_1C3,
+    "Concat_res2C3": BV.Concat_res2C3,
 }
 
 # blocks that repeat n times by inserting the count as the arg after c2
 # (reference models/yolo.py:489-494)
-CSP_N_BLOCKS = {"BottleneckCSP", "C3", "C3Ghost", "C2f", "RepC3", "BoT3", "C3TR"}
+CSP_N_BLOCKS = {"BottleneckCSP", "C3", "C3Ghost", "C2f", "RepC3", "BoT3", "C3TR",
+                "RepNCSP", "BasicBlock_2C3", "BasicBlock_1C3", "Concat_res2C3"}
 
 # blocks that keep the input channel count; args passed through verbatim
 PASS_BLOCKS = {
