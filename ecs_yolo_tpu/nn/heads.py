@@ -238,6 +238,43 @@ class DualDDetect(nn.Module):
         return y, (d1, d2)
 
 
+class TripleDDetect(nn.Module):
+    """Triple-branch deep-supervision head (reference models/yolo_snn.py:284-448):
+    three DFL branches over 3*nl inputs; inference decodes the LAST branch."""
+
+    nc: int = 80
+    reg_max: int = 16
+    strides: Tuple[float, ...] = ()
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], training: bool = False):
+        nl = len(xs) // 3
+        groups = [xs[:nl], xs[nl : 2 * nl], xs[2 * nl :]]
+
+        def branch(inputs, tag):
+            ch0 = inputs[0].shape[-1]
+            c2 = make_divisible(max(ch0 // 4, self.reg_max * 4, 16), 4)
+            c3 = max(ch0, min(self.nc * 2, 128))
+            out = []
+            for i, x in enumerate(inputs):
+                box = _mean_t(
+                    _DFLTower(c2, self.reg_max, self.snn, name=f"{tag}cv2_{i}")(x, training)
+                )
+                cls = _mean_t(
+                    _ClsTower(c3, self.nc, self.snn, name=f"{tag}cv3_{i}")(x, training)
+                )
+                out.append(jnp.concatenate([box, cls], axis=-1).transpose(0, 3, 1, 2))
+            return out
+
+        ds = [branch(g, f"{'abc'[k]}_") for k, g in enumerate(groups)]
+        dfl = DFL(self.reg_max, name="dfl3")
+        if training:
+            return tuple(ds)
+        y = _decode_dfl(ds[-1], self.nc, self.reg_max, self.strides, dfl, training)
+        return y, tuple(ds)
+
+
 class V10Output(NamedTuple):
     """NMS-free head output (reference ModelOutput, models/yolo_snn.py:589)."""
 

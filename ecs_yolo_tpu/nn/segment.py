@@ -81,6 +81,50 @@ class Segment(nn.Module):
         return jnp.concatenate([y, mc], axis=1), (feats, mc, protos)
 
 
+class UConv(nn.Module):
+    """Semantic upsampling conv (reference UConv): conv -> up2 -> 1x1."""
+
+    c_hidden: int
+    c_out: int
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = Conv(self.c_hidden, 3, snn=self.snn, name="cv1")(x, training)
+        y = Sample(None, 2, "nearest", name="up")(y, training)
+        y = SnnConv(self.c_out, 1, use_bias=True, name="cv2")(y)
+        return _mean_t(y)
+
+
+class Panoptic(nn.Module):
+    """Panoptic head (reference models/yolo_snn.py:473-497): Segment plus a
+    semantic-segmentation branch over P3."""
+
+    nc: int = 80
+    sem_nc: int = 93
+    nm: int = 32
+    npr: int = 256
+    reg_max: int = 16
+    strides: Tuple[float, ...] = ()
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], training: bool = False):
+        seg = Segment(
+            self.nc, self.nm, self.npr, self.reg_max, self.strides,
+            self.snn, name="seg",
+        )
+        sem = UConv(
+            xs[0].shape[-1] // 4, self.sem_nc + self.nc, self.snn, name="uconv"
+        )(xs[0], training)
+        out = seg(xs, training)
+        if training:
+            feats, mc, protos = out
+            return feats, mc, protos, sem
+        y, aux = out
+        return y, (*aux, sem)
+
+
 def crop_mask(masks, boxes):
     """Zero mask pixels outside the box (reference utils/segment/general.py).
     masks [N, h, w], boxes xyxy in mask coords."""

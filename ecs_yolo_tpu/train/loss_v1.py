@@ -46,6 +46,13 @@ def focal_weight(pred, target, gamma: float = 1.5, alpha: float = 0.25):
     return alpha_factor * (1.0 - p_t) ** gamma
 
 
+def qfocal_weight(pred, target, gamma: float = 1.5, alpha: float = 0.25):
+    """Quality-focal modulation (reference QFocalLoss, utils/loss.py:105)."""
+    p = jax.nn.sigmoid(pred)
+    alpha_factor = target * alpha + (1 - target) * (1 - alpha)
+    return alpha_factor * jnp.abs(target - p) ** gamma
+
+
 def slide_weight(target, auto_iou):
     """Slide-loss modulation (reference SlideLoss, utils/loss.py:38-72).
     The reference EMA has alpha=0.999 on the CURRENT value, so it tracks
