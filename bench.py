@@ -20,7 +20,7 @@ import numpy as np
 
 REF_GPU_IMGS_PER_SEC = 30.0  # documented estimate, see module docstring
 
-BATCH = 4
+BATCH = 8
 IMGSZ = 640
 WARMUP = 3
 ITERS = 10
