@@ -107,6 +107,8 @@ class Dataset:
         max_labels: int = 300,
         cache_dir: Optional[str] = None,
         single_cls: bool = False,
+        rect: bool = False,
+        rect_buckets: int = 4,
     ):
         self.img_files = find_images(path)
         assert self.img_files, f"no images found in {path}"
@@ -122,6 +124,33 @@ class Dataset:
         self.n = len(self.img_files)
         self.indices = np.arange(self.n)
         self.mosaic_border = [-img_size // 2, -img_size // 2]
+
+        # rect mode (reference rect-batch shape sorting, utils/datasets.py):
+        # TPU needs static shapes, so aspect ratios quantize into a few
+        # letterbox buckets instead of per-batch dynamic shapes — each bucket
+        # is one compiled program.
+        self.rect = rect
+        self.batch_shape = None  # per-image [h, w] when rect
+        if rect:
+            shapes = np.array([self._image_hw(p) for p in self.img_files])
+            ar = shapes[:, 0] / shapes[:, 1]  # h / w
+            qs = np.quantile(ar, np.linspace(0, 1, rect_buckets + 1))
+            bucket_of = np.clip(np.searchsorted(qs, ar, "right") - 1, 0,
+                                rect_buckets - 1)
+            self.batch_shape = np.zeros((self.n, 2), int)
+            for b in range(rect_buckets):
+                sel = bucket_of == b
+                if not sel.any():
+                    continue
+                a = np.median(ar[sel])
+                if a < 1:  # wide
+                    hw = (max(int(np.ceil(img_size * a / stride)) * stride,
+                              stride), img_size)
+                else:  # tall
+                    hw = (img_size, max(int(np.ceil(img_size / a / stride))
+                                        * stride, stride))
+                self.batch_shape[sel] = hw
+            self._bucket_of = bucket_of
 
     # -- labels ---------------------------------------------------------------
 
@@ -148,6 +177,11 @@ class Dataset:
         return labels
 
     # -- image access ---------------------------------------------------------
+
+    @staticmethod
+    def _image_hw(path: str):
+        with Image.open(path) as im:
+            return im.height, im.width
 
     def load_image(self, i: int):
         """Load + resize longest side to img_size (keeps ratio)."""
@@ -241,8 +275,11 @@ class Dataset:
                 labels[:, 4] = (labels_xyxy[:, 4] - labels_xyxy[:, 2]) / h
         else:
             img, (h0, w0), (h, w) = self.load_image(index)
+            shape = (
+                tuple(self.batch_shape[index]) if self.rect else self.img_size
+            )
             img, ratio, pad = letterbox(
-                img, self.img_size, auto=False, scaleup=self.augment
+                img, shape, auto=False, scaleup=self.augment
             )
             labels = self.labels[index].copy()
             if len(labels):
@@ -278,20 +315,35 @@ class Dataset:
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
                 drop_last: bool = True):
-        """Yield (images [B,H,W,3], labels [B,M,5], masks [B,M]) batches."""
+        """Yield (images [B,H,W,3], labels [B,M,5], masks [B,M]) batches.
+        In rect mode, batches group by aspect-ratio bucket so each bucket
+        shape compiles once."""
         order = np.array(self.indices)  # image_weights may resample these
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
-        end = self.n - (self.n % batch_size) if drop_last else self.n
-        if end == 0:
-            end = self.n
-        for i in range(0, end, batch_size):
-            idxs = order[i : i + batch_size]
-            ims, lbs, ms = zip(*(self[int(j)] for j in idxs))
-            ims = np.stack(ims)
-            if len(idxs) < batch_size and not drop_last:
-                padn = batch_size - len(idxs)
-                ims = np.concatenate([ims, np.zeros((padn,) + ims.shape[1:], ims.dtype)])
-                lbs = list(lbs) + [np.zeros_like(lbs[0])] * padn
-                ms = list(ms) + [np.zeros_like(ms[0])] * padn
-            yield ims, np.stack(lbs), np.stack(ms)
+        if self.rect:
+            groups = [
+                order[self._bucket_of[order] == b]
+                for b in np.unique(self._bucket_of)
+            ]
+        else:
+            groups = [order]
+        for grp in groups:
+            n = len(grp)
+            if n == 0:
+                continue
+            end = n - (n % batch_size) if drop_last else n
+            if end == 0:
+                end = n
+            for i in range(0, end, batch_size):
+                idxs = grp[i : i + batch_size]
+                ims, lbs, ms = zip(*(self[int(j)] for j in idxs))
+                ims = np.stack(ims)
+                if len(idxs) < batch_size and not drop_last:
+                    padn = batch_size - len(idxs)
+                    ims = np.concatenate(
+                        [ims, np.zeros((padn,) + ims.shape[1:], ims.dtype)]
+                    )
+                    lbs = list(lbs) + [np.zeros_like(lbs[0])] * padn
+                    ms = list(ms) + [np.zeros_like(ms[0])] * padn
+                yield ims, np.stack(lbs), np.stack(ms)
