@@ -29,6 +29,7 @@ from ..nn import blocks_ext as BX
 from ..nn import blocks_tail as BT
 from ..nn import experimental as BE
 from ..nn import blocks_v9 as BV
+from ..nn import blocks_star as BS
 from ..nn import heads as H
 
 YAML_DIR = Path(__file__).parent / "yaml"
@@ -102,6 +103,10 @@ C2_BLOCKS = {
     "RepNBottleneck": BV.RepNBottleneck,
     "RepNCSP": BV.RepNCSP,
     "RepNCSPELAN4": BV.RepNCSPELAN4,
+    "StarBlock": BS.StarBlock,
+    "StarBlock_1": BS.StarBlock_1,
+    "StarBlock_3": BS.StarBlock_3,
+    "MStarBlock": BS.MStarBlock,
     "BasicBlock_2C3": BV.BasicBlock_2C3,
     "BasicBlock_1C3": BV.BasicBlock_1C3,
     "Concat_res2C3": BV.Concat_res2C3,

@@ -209,3 +209,21 @@ def test_gsconv_shuffle_deinterleaves():
     v = mod.init(KEY, X, training=False)
     y = mod.apply(v, X, training=False)
     assert y.shape[-1] == 8
+
+
+STAR_INPUT = {
+    "StarBlock": ((24, 3, 2), 24),
+    "StarBlock_1": ((24, 3, 2), 24),
+    "StarBlock_3": ((24, 3, 2), 24),
+    "MStarBlock": ((16, 3, 1), 16),
+}
+
+
+@pytest.mark.parametrize("name", sorted(STAR_INPUT))
+def test_star_block(name):
+    args, c_out = STAR_INPUT[name]
+    mod = _make(name, args)
+    variables = mod.init(KEY, X, training=False)
+    y = mod.apply(variables, X, training=False)
+    assert y.shape[-1] == c_out, f"{name}: {y.shape}"
+    assert bool(jnp.isfinite(y).all()), name
