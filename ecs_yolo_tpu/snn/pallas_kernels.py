@@ -176,6 +176,139 @@ def _ecs_kernel(
     jax.lax.fori_loop(0, t_steps, body, (mem, spike, ecs))
 
 
+def _ecs_kernel_v2(
+    xw_ref,  # [T, 1, 1, RB, W, C] VMEM block (overlapping window)
+    dwk_ref,  # [3, 3, C]
+    dwb_ref,  # [1, C]
+    pwk_ref,  # [C, C]
+    pwb_ref,  # [1, C]
+    out_ref,  # [T, 1, BR, W, C]
+    mem_s,  # scratch [RB, W, C]
+    spike_s,  # scratch [RB+2, W+2, C]  (1-px halo for the 3x3)
+    ecs_s,  # scratch [RB, W, C]
+    *,
+    t_steps: int,
+    halo: int,
+    br: int,
+    h_img: int,
+    decay: float,
+    thresh: float,
+    alpha: float,
+    beta: float,
+    leak: float,
+    act: bool,
+):
+    """v2: unrolled steps with STATE IN SCRATCH REFS (so Mosaic reuses the
+    buffers across steps instead of stack-allocating every step's SSA
+    temporaries) and slice-reads of a halo-padded spike buffer instead of
+    concatenation shifts."""
+    j = pl.program_id(1)
+    rb, w, c = mem_s.shape
+    cdt = mem_s.dtype
+
+    grow = jax.lax.broadcasted_iota(jnp.int32, (rb, 1, 1), 0) + j * br
+    rowmask = ((grow >= halo) & (grow < halo + h_img)).astype(cdt)
+    dwk = dwk_ref[...]
+    dwb = dwb_ref[0]
+    pwk = pwk_ref[...]
+    pwb = pwb_ref[0]
+
+    mem_s[...] = jnp.zeros((rb, w, c), cdt)
+    ecs_s[...] = jnp.zeros((rb, w, c), cdt)
+    spike_s[...] = jnp.zeros((rb + 2, w + 2, c), cdt)
+
+    for t in range(t_steps):
+        fecs = beta * jnp.tanh(ecs_s[...])
+        mem = (
+            mem_s[...] * decay * (1.0 - spike_s[1 : rb + 1, 1 : w + 1])
+            + xw_ref[t, 0, 0]
+            + fecs
+        )
+        sp = _spike(mem, thresh, act) * rowmask
+        mem_s[...] = mem
+        spike_s[1 : rb + 1, 1 : w + 1] = sp
+        # depthwise 3x3 = 9 slice-reads of the halo-padded spike buffer
+        d = jnp.zeros((rb, w, c), cdt)
+        for dy in range(3):
+            for dx in range(3):
+                d += spike_s[dy : dy + rb, dx : dx + w] * dwk[dy, dx]
+        d = d + dwb
+        p = jnp.dot(
+            d.reshape(rb * w, c), pwk, preferred_element_type=jnp.float32
+        ).astype(cdt).reshape(rb, w, c) + pwb
+        ecs_s[...] = alpha * p + leak * ecs_s[...]
+        out_ref[t, 0] = sp[halo : rb - halo].astype(out_ref.dtype)
+
+
+def ecs_lif_fused_v2(
+    x: jax.Array,
+    dw_kernel: jax.Array,
+    dw_bias: jax.Array,
+    pw_kernel: jax.Array,
+    pw_bias: jax.Array,
+    cfg: SNNConfig,
+    act: bool = False,
+    interpret: bool = False,
+    block_rows: int = 0,
+) -> jax.Array:
+    """Scratch-state variant of :func:`ecs_lif_fused` (see kernel docstring)."""
+    t, n, h, w, c = x.shape
+    halo = t - 1
+    leak = 1.0 - 1.0 / cfg.ecs_tau
+
+    br = block_rows or _pick_block_rows(
+        h, w, c, t, budget_bytes=int(9 * 2**20),
+        halo=halo, dtype_bytes=x.dtype.itemsize,
+    )
+    n_blocks = (h + br - 1) // br
+    h_pad = n_blocks * br
+    rb = br + 2 * halo
+
+    x_p = jnp.pad(x, ((0, 0), (0, 0), (halo, halo + h_pad - h), (0, 0), (0, 0)))
+    xw = jnp.stack(
+        [x_p[:, :, j * br : j * br + rb] for j in range(n_blocks)], axis=2
+    )
+
+    kernel = functools.partial(
+        _ecs_kernel_v2,
+        t_steps=t, halo=halo, br=br, h_img=h,
+        decay=cfg.decay, thresh=cfg.thresh, alpha=cfg.alpha, beta=cfg.beta,
+        leak=leak, act=act,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t, n, h_pad, w, c), x.dtype),
+        grid=(n, n_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (t, 1, 1, rb, w, c), lambda i, j: (0, i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((3, 3, c), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (t, 1, br, w, c), lambda i, j: (0, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rb, w, c), x.dtype),
+            pltpu.VMEM((rb + 2, w + 2, c), x.dtype),
+            pltpu.VMEM((rb, w, c), x.dtype),
+        ],
+        interpret=interpret,
+    )(
+        xw,
+        dw_kernel.reshape(3, 3, c).astype(x.dtype),
+        dw_bias.reshape(1, c).astype(x.dtype),
+        pw_kernel.reshape(c, c).astype(x.dtype),
+        pw_bias.reshape(1, c).astype(x.dtype),
+    )
+    return out[:, :, :h]
+
+
 def _pick_block_rows(h, w, c, t, budget_bytes=int(6.5 * 2**20), halo=3,
                      dtype_bytes=2):
     """Largest row block whose VMEM footprint fits.

@@ -90,3 +90,22 @@ class TestECSFused:
             )
         )
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_ecs_fused_v2_matches_scan():
+    """v2 (scratch-state) kernel parity in interpret mode."""
+    from ecs_yolo_tpu.snn.pallas_kernels import ecs_lif_fused_v2
+
+    rng = np.random.RandomState(5)
+    t, n, h, w, c = 4, 2, 29, 6, 4
+    x = jnp.asarray((rng.randn(t, n, h, w, c) * 0.7).astype(np.float32))
+    helper = TestECSFused()
+    dw, dwb, pw, pwb = helper._params(c, seed=6)
+    want = np.asarray(helper._scan_ref(x, dw, dwb, pw, pwb, True))
+    got = np.asarray(
+        ecs_lif_fused_v2(
+            x, jnp.asarray(dw), jnp.asarray(dwb), jnp.asarray(pw),
+            jnp.asarray(pwb), CFG, act=True, interpret=True, block_rows=8,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)
