@@ -105,6 +105,65 @@ class Callbacks:
             cb(*args, **kwargs)
 
 
+class Timeout:
+    """Timeout context manager (reference utils/general.py:74) via SIGALRM;
+    no-op on platforms without it."""
+
+    def __init__(self, seconds: float, timeout_msg: str = "", suppress: bool = True):
+        self.seconds = int(seconds)
+        self.msg = timeout_msg
+        self.suppress = suppress
+
+    def _handler(self, signum, frame):
+        raise TimeoutError(self.msg)
+
+    def __enter__(self):
+        import signal
+
+        try:
+            signal.signal(signal.SIGALRM, self._handler)
+            signal.alarm(self.seconds)
+        except (ValueError, AttributeError):
+            pass
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        import signal
+
+        try:
+            signal.alarm(0)
+        except (ValueError, AttributeError):
+            pass
+        return self.suppress and exc_type is TimeoutError
+
+
+def check_img_size(imgsz: int, stride: int = 32, floor: int = 0) -> int:
+    """Round image size to a stride multiple (reference check_img_size)."""
+    new = max(int(round(imgsz / stride) * stride), floor or stride)
+    if new != imgsz:
+        LOGGER.info(f"img size {imgsz} adjusted to {new} (stride {stride})")
+    return new
+
+
+def check_dataset(data: dict) -> dict:
+    """Validate a dataset yaml dict (reference check_dataset, minus the
+    download step — this image has no egress)."""
+    from pathlib import Path as _P
+
+    for k in ("nc", "train"):
+        assert k in data, f"dataset yaml missing key {k!r}"
+    names = data.get("names")
+    if names is not None:
+        assert len(names) == data["nc"], (
+            f"names ({len(names)}) != nc ({data['nc']})"
+        )
+    root = _P(data.get("path", "."))
+    for split in ("train", "val"):
+        if split in data and not (root / data[split]).exists():
+            LOGGER.info(f"dataset split missing on disk: {root / data[split]}")
+    return data
+
+
 def colorstr(*args):
     """ANSI color helper (reference utils/general.py) — no-op safe."""
     *prefix, string = args if len(args) > 1 else ("bold", args[0])
