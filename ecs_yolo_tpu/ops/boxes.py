@@ -118,6 +118,25 @@ def bbox_iou(
     return (iou - 0.5 * (distance_cost + shape_cost)).squeeze(-1)
 
 
+def wiou(box1, box2, xywh: bool = True, eps: float = 1e-7):
+    """WIoU v1 (reference utils/metrics.py:313-318): returns (iou, penalty)
+    where penalty = exp(rho2 / c2) weights the loss of outlier boxes."""
+    iou_v = bbox_iou(box1, box2, xywh=xywh, eps=eps)
+    if xywh:
+        b1 = xywh2xyxy(box1)
+        b2 = xywh2xyxy(box2)
+    else:
+        b1, b2 = box1, box2
+    cw = jnp.maximum(b1[..., 2], b2[..., 2]) - jnp.minimum(b1[..., 0], b2[..., 0])
+    ch = jnp.maximum(b1[..., 3], b2[..., 3]) - jnp.minimum(b1[..., 1], b2[..., 1])
+    c2 = cw**2 + ch**2 + eps
+    rho2 = (
+        (b2[..., 0] + b2[..., 2] - b1[..., 0] - b1[..., 2]) ** 2
+        + (b2[..., 1] + b2[..., 3] - b1[..., 1] - b1[..., 3]) ** 2
+    ) / 4
+    return iou_v, jnp.exp(rho2 / c2)
+
+
 def clip_coords(boxes, shape):
     """Clip xyxy boxes to image shape (h, w)."""
     h, w = shape

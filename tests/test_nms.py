@@ -161,3 +161,16 @@ class TestIoU:
         )
         el = np.asarray(bbox_iou(jnp.asarray(b), jnp.asarray(b), xywh=True))
         np.testing.assert_allclose(el, np.ones(8), atol=1e-5)
+
+
+def test_wiou():
+    from ecs_yolo_tpu.ops.boxes import wiou
+
+    b1 = jnp.asarray([[10.0, 10, 4, 4]])
+    iou_same, pen_same = wiou(b1, b1)
+    assert float(iou_same[0]) == pytest.approx(1.0, abs=1e-5)
+    assert float(pen_same[0]) == pytest.approx(1.0, abs=1e-5)
+    b2 = jnp.asarray([[20.0, 20, 4, 4]])
+    iou_far, pen_far = wiou(b1, b2)
+    assert float(iou_far[0]) == 0.0
+    assert float(pen_far[0]) > 1.0
