@@ -6,7 +6,7 @@ from ecs_yolo_tpu.train.optim import build_optimizer
 from ecs_yolo_tpu.train.trainer import create_train_state, make_train_step
 
 B, IMGSZ = 8, 640
-model = build_model("resnet34.yaml", nc=80)
+model = build_model("resnet34.yaml", nc=80, remat=True)
 variables = model.init(jax.random.PRNGKey(0), imgsz=64)
 tx = build_optimizer(variables["params"], epochs=10, steps_per_epoch=100)
 state = create_train_state(variables, tx)

@@ -313,13 +313,25 @@ def _construct(name: str, args: Tuple, snn: SNNConfig, mod_name=None):
     return cls(*args, **kwargs)
 
 
-def _make_layer(row, snn: SNNConfig):
+def _make_layer(row, snn: SNNConfig, remat: bool = False):
     f, n, name, args = row
     if name == "Concat":
-        return B.Concat()
-    if n > 1:
-        return _Repeat(name_=name, args=args, n=n, snn=snn)
-    return _construct(name, args, snn)
+        cls_args = dict()
+        mod = B.Concat()
+    elif n > 1:
+        mod = _Repeat(name_=name, args=args, n=n, snn=snn)
+    else:
+        mod = _construct(name, args, snn)
+    if remat and name not in HEADS:
+        # rematerialize activations during backward (jax.checkpoint): trades
+        # ~FLOPs for HBM so T=4 training fits (the reference has no answer
+        # to activation memory beyond smaller batches)
+        cls = type(mod)
+        wrapped = nn.remat(cls, static_argnums=(2,))
+        kwargs = {f.name: getattr(mod, f.name) for f in cls.__dataclass_fields__.values()
+                  if f.name not in ("parent", "name")}
+        return wrapped(**kwargs)
+    return mod
 
 
 # ---------------------------------------------------------------------------
@@ -334,9 +346,12 @@ class DetectionModel(nn.Module):
     spec: Tuple
     save: Tuple[int, ...]
     snn: SNNConfig = DEFAULT_SNN
+    remat: bool = False
 
     def setup(self):
-        self.layers = [_make_layer(row, self.snn) for row in self.spec]
+        self.layers = [
+            _make_layer(row, self.snn, self.remat) for row in self.spec
+        ]
 
     def prepare_input(self, x: jax.Array) -> jax.Array:
         """Static image [N,H,W,C] -> replicate T times; event batch
@@ -358,7 +373,7 @@ class DetectionModel(nn.Module):
                     x = cache[f % i]
                 else:
                     x = [x if j == -1 else cache[j % i] for j in f]
-            x = layer(x, training=training)
+            x = layer(x, training)
             if i in self.save:
                 cache[i] = x
         return x
@@ -436,6 +451,7 @@ def build_model(
     anchors=None,
     snn: Optional[SNNConfig] = None,
     probe: int = 256,
+    remat: bool = False,
 ) -> BuiltModel:
     """Two-phase build: parse -> abstract stride probe -> final module."""
     d = load_cfg(cfg)
@@ -467,7 +483,7 @@ def build_model(
 
     # phase 2: final spec with real strides (+ grid-unit anchors for v1)
     final_spec = _with_head_args(spec, hidx, hname, head_info, strides=strides)
-    model = DetectionModel(spec=final_spec, save=save, snn=snn)
+    model = DetectionModel(spec=final_spec, save=save, snn=snn, remat=remat)
     return BuiltModel(model, d, final_spec, save, head_info, strides, snn)
 
 

