@@ -60,6 +60,7 @@ def train(
     sr: float = 0.0,
     resume: Optional[str] = None,
     image_weights: bool = False,
+    remat: bool = False,
 ):
     """Returns (state, best_fitness, results_history)."""
     hyp = {**HYP_SCRATCH, **(hyp or {})}
@@ -68,7 +69,7 @@ def train(
     w = Path(save_dir) / "weights"
     w.mkdir(parents=True, exist_ok=True)
 
-    model = build_model(cfg, nc=nc)
+    model = build_model(cfg, nc=nc, remat=remat)
     key = jax.random.PRNGKey(seed)
     variables = model.init(key, imgsz=min(imgsz, 256))
 

@@ -34,6 +34,8 @@ def parse_opt():
     p.add_argument("--save-period", type=int, default=-1)
     p.add_argument("--noval", action="store_true")
     p.add_argument("--single-cls", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize activations (fit bigger models/batches)")
     return p.parse_args()
 
 
@@ -70,6 +72,7 @@ def main(opt):
         close_mosaic=close_mosaic,
         seed=opt.seed,
         save_period=opt.save_period,
+        remat=opt.remat,
     )
 
 
