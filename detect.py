@@ -25,14 +25,18 @@ def parse_opt():
     p.add_argument("--nc", type=int, default=None)
     p.add_argument("--save-dir", default="runs/detect/exp")
     p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--device", default="",
+                   help="jax platform, e.g. cpu or tpu (reference --device)")
     return p.parse_args()
 
 
 def main(opt):
+    from ecs_yolo_tpu.utils.general import LOGGER, select_device
+
+    select_device(opt.device)
     from ecs_yolo_tpu import detect as detect_mod
     from ecs_yolo_tpu.models.yolo import build_model
     from ecs_yolo_tpu.utils.checkpoint import load_checkpoint
-    from ecs_yolo_tpu.utils.general import LOGGER
 
     names, nc = None, opt.nc
     if opt.data:

@@ -228,9 +228,11 @@ def box_candidates(box1, box2, wh_thr=2, ar_thr=20, area_thr=0.1, eps=1e-16):
 
 
 def mixup(im1, labels1, im2, labels2, rng=None):
-    """Image mixup with beta(32, 32) (reference augmentations.py:206-212)."""
-    rng_np = np.random if rng is None else rng
-    r = rng_np.beta(32.0, 32.0)
+    """Image mixup with beta(32, 32) (reference augmentations.py:206-212).
+
+    ``rng`` is the dataset's per-item ``random.Random`` (betavariate), so
+    mixup stays reproducible per seed; falls back to global numpy."""
+    r = np.random.beta(32.0, 32.0) if rng is None else rng.betavariate(32.0, 32.0)
     im = (im1.astype(np.float32) * r + im2.astype(np.float32) * (1 - r)).astype(
         np.uint8
     )

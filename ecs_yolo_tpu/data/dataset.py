@@ -265,7 +265,7 @@ class Dataset:
                 img2, labels2 = self.load_mosaic(
                     int(rng.choice(self.indices)), rng
                 )
-                img, labels_xyxy = mixup(img, labels_xyxy, img2, labels2)
+                img, labels_xyxy = mixup(img, labels_xyxy, img2, labels2, rng)
             h = w = img.shape[0]
             labels = labels_xyxy.copy()
             if len(labels):
@@ -314,10 +314,12 @@ class Dataset:
     # -- batching -------------------------------------------------------------
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
-                drop_last: bool = True):
+                drop_last: bool = True, yield_count: bool = False):
         """Yield (images [B,H,W,3], labels [B,M,5], masks [B,M]) batches.
         In rect mode, batches group by aspect-ratio bucket so each bucket
-        shape compiles once."""
+        shape compiles once.  With ``yield_count`` each batch also carries
+        the number of REAL (non-padded) rows, so eval loops can skip the
+        zero-padded tail of the last partial batch."""
         order = np.array(self.indices)  # image_weights may resample these
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
@@ -346,4 +348,7 @@ class Dataset:
                     )
                     lbs = list(lbs) + [np.zeros_like(lbs[0])] * padn
                     ms = list(ms) + [np.zeros_like(ms[0])] * padn
-                yield ims, np.stack(lbs), np.stack(ms)
+                if yield_count:
+                    yield ims, np.stack(lbs), np.stack(ms), len(idxs)
+                else:
+                    yield ims, np.stack(lbs), np.stack(ms)

@@ -49,7 +49,10 @@ def _greedy_nms(boxes, scores, iou_thres: float, max_det: int):
             jnp.minimum(boxes[:, 3], b[3]) - jnp.maximum(boxes[:, 1], b[1]), 0
         )
         iou = inter / (area + area[i] - inter + 1e-7)
-        suppress = iou > iou_thres  # includes i itself (IoU == 1)
+        # kill the picked index explicitly: a zero-area candidate has IoU 0
+        # with itself and would otherwise be re-picked every step
+        live_scores = live_scores.at[i].set(NEG_INF)
+        suppress = iou > iou_thres
         live_scores = jnp.where(suppress, NEG_INF, live_scores)
         return live_scores, (i, s)
 

@@ -108,6 +108,7 @@ def train(
     step_fn = make_train_step(
         model, tx, hyp, ema_decay=ema_decay,
         sr=sr, sr_total_steps=epochs * steps_per_epoch,
+        accumulate=accumulate,
     )
 
     # multi-scale: per-EPOCH size buckets in /32 steps over 0.5-1.5x imgsz

@@ -33,16 +33,23 @@ def make_lr_fn(
     lr0: float,
     lrf: float,
     epochs: int,
-    steps_per_epoch: int,
+    steps_per_epoch: float,
     cos_lr: bool = True,
     warmup_epochs: float = 3.0,
     warmup_bias_lr: float = 0.1,
     is_bias: bool = False,
+    min_warmup_steps: float = 100.0,
 ):
     """Per-step LR: warmup interpolation then epoch-wise lf decay
-    (reference train.py:524-540)."""
+    (reference train.py:524-540).
+
+    ``steps_per_epoch`` counts the steps this schedule is actually evaluated
+    at.  Under gradient accumulation (optax.MultiSteps) the inner schedule
+    only advances once per apply, so the caller must pass
+    micro_steps_per_epoch / accumulate (and scale the 100-micro-batch warmup
+    floor the same way) or warmup/decay run ``accumulate``x too slow."""
     lf = one_cycle(1, lrf, epochs) if cos_lr else linear_lf(lrf, epochs)
-    nw = max(round(warmup_epochs * steps_per_epoch), 100)
+    nw = max(warmup_epochs * steps_per_epoch, min_warmup_steps)
     start = warmup_bias_lr if is_bias else 0.0
 
     def lr_fn(step):
@@ -100,10 +107,18 @@ def build_optimizer(
     """
     labels = jax.tree_util.tree_map_with_path(param_group_label, params)
 
+    # schedules are evaluated once per optimizer APPLY: under MultiSteps the
+    # inner count advances every `accumulate` micro-steps, so convert the
+    # micro-step epoch length (and the 100-micro-batch warmup floor) to
+    # apply-steps or warmup/decay stretch by `accumulate`x.
+    sched_spe = steps_per_epoch / max(accumulate, 1)
+    min_warmup = 100.0 / max(accumulate, 1)
+
     def make_tx(is_bias: bool, decay: float):
         lr_fn = make_lr_fn(
-            lr0, lrf, epochs, steps_per_epoch, cos_lr,
+            lr0, lrf, epochs, sched_spe, cos_lr,
             warmup_epochs, warmup_bias_lr, is_bias,
+            min_warmup_steps=min_warmup,
         )
         if name.lower() == "sgd":
             # constant momentum (the reference also warms momentum up over

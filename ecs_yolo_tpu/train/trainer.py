@@ -100,10 +100,15 @@ def make_train_step(
     compute_dtype=jnp.float32,
     sr: float = 0.0,
     sr_total_steps: int = 0,
+    accumulate: int = 1,
 ):
     """Build the jitted train step.  Batch: (images [B,H,W,C] float 0-1,
     targets [B,M,5], mask [B,M]).  `sr > 0` enables network-slimming BN-L1
-    sparsity (reference train_sparsity.py:570-581)."""
+    sparsity (reference train_sparsity.py:570-581).  ``accumulate`` must
+    match the optimizer's MultiSteps schedule: EMA then updates only on
+    apply boundaries with the apply count as its decay ramp counter
+    (reference ModelEMA updates once per optimizer step,
+    utils/torch_utils.py:286 + train.py:567-583)."""
     loss_fn = make_loss_fn(model, hyp)
 
     def step_fn(state: TrainState, images, targets, t_mask):
@@ -132,9 +137,18 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         step = state.step + 1
-        ema_params = ema_update(
-            state.ema_params, params, step, decay=ema_decay
-        )
+        if accumulate > 1:
+            applies = step // accumulate
+            ema_params = jax.lax.cond(
+                step % accumulate == 0,
+                lambda e: ema_update(e, params, applies, decay=ema_decay),
+                lambda e: e,
+                state.ema_params,
+            )
+        else:
+            ema_params = ema_update(
+                state.ema_params, params, step, decay=ema_decay
+            )
         new_state = TrainState(params, new_bs, opt_state, ema_params, step)
         return new_state, {"loss": total, "items": items}
 

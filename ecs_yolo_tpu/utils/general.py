@@ -21,6 +21,26 @@ if not LOGGER.handlers:
     LOGGER.setLevel(logging.INFO)
 
 
+def select_device(device: str = ""):
+    """Pin the JAX platform for a CLI run (reference
+    utils/torch_utils.py:110 ``select_device`` --device flag).
+
+    Must run before any jax device use.  Empty string keeps the ambient
+    platform (here: the TPU).  ``cpu`` routes small/dev runs off the chip —
+    this container forces ``JAX_PLATFORMS`` at interpreter start, so a late
+    env var cannot; only this config update can.
+    """
+    import jax
+
+    if device:
+        jax.config.update("jax_platforms", device)
+    devs = jax.devices()
+    LOGGER.info(
+        f"devices: {len(devs)}x {devs[0].platform}"
+    )
+    return devs
+
+
 def increment_path(path, exist_ok: bool = False, sep: str = "", mkdir: bool = False):
     """runs/exp -> runs/exp2, exp3, ... (reference utils/general.py)."""
     path = Path(path)

@@ -58,7 +58,9 @@ def run(
     json_dets = []
     img_id = 0
 
-    for ims, labels, masks in ds.batches(batch_size, drop_last=False):
+    for ims, labels, masks, n_real in ds.batches(
+        batch_size, drop_last=False, yield_count=True
+    ):
         t0 = time.perf_counter()
         x = jnp.asarray(ims)
         t1 = time.perf_counter()
@@ -81,7 +83,9 @@ def run(
         dt[2] += t3 - t2
 
         h, w = ims.shape[1:3]
-        for si in range(ims.shape[0]):
+        # only the first n_real rows are real images; the zero-padded tail
+        # must not contribute detections (false positives) to the metrics
+        for si in range(n_real):
             img_id += 1
             lm = masks[si]
             nl = int(lm.sum())

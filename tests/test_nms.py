@@ -91,6 +91,24 @@ class TestNMS:
         out, valid = np.asarray(out), np.asarray(valid)
         assert (out[~valid] == 0).all()
 
+    def test_zero_area_box_not_duplicated(self):
+        # a degenerate (zero-area) candidate has IoU 0 with itself, so
+        # self-suppression via IoU alone never kills it — it must be kept
+        # exactly once, not re-picked max_det times (ADVICE r1)
+        pred = np.zeros((1, 3, 5 + 2), dtype=np.float32)
+        pred[0, 0, :4] = [100, 100, 0, 0]  # zero wh
+        pred[0, 0, 4] = 1.0
+        pred[0, 0, 5] = 0.95
+        pred[0, 1, :4] = [300, 300, 40, 40]
+        pred[0, 1, 4] = 1.0
+        pred[0, 1, 6] = 0.9
+        out, valid = non_max_suppression(jnp.asarray(pred), max_det=20)
+        out, valid = np.asarray(out)[0], np.asarray(valid)[0]
+        assert int(valid.sum()) == 2
+        kept = out[valid]
+        # no duplicated rows
+        assert len(np.unique(kept.round(3), axis=0)) == 2
+
     def test_agnostic_suppresses_across_classes(self):
         # two identical boxes, different classes: agnostic keeps 1, per-class 2
         pred = np.zeros((1, 2, 5 + 3), dtype=np.float32)

@@ -36,12 +36,16 @@ def parse_opt():
     p.add_argument("--single-cls", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (fit bigger models/batches)")
+    p.add_argument("--device", default="",
+                   help="jax platform, e.g. cpu or tpu (reference --device)")
     return p.parse_args()
 
 
 def main(opt):
+    from ecs_yolo_tpu.utils.general import LOGGER, select_device
+
+    select_device(opt.device)
     from ecs_yolo_tpu.train.driver import train
-    from ecs_yolo_tpu.utils.general import LOGGER
 
     with open(opt.data) as fh:
         data = yaml.safe_load(fh)

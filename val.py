@@ -26,14 +26,18 @@ def parse_opt():
     p.add_argument("--max-det", type=int, default=300)
     p.add_argument("--task", default="val", choices=["val", "test", "speed"])
     p.add_argument("--use-ema", action="store_true", default=True)
+    p.add_argument("--device", default="",
+                   help="jax platform, e.g. cpu or tpu (reference --device)")
     return p.parse_args()
 
 
 def main(opt):
+    from ecs_yolo_tpu.utils.general import LOGGER, select_device
+
+    select_device(opt.device)
     from ecs_yolo_tpu import val as val_mod
     from ecs_yolo_tpu.models.yolo import build_model
     from ecs_yolo_tpu.utils.checkpoint import load_checkpoint
-    from ecs_yolo_tpu.utils.general import LOGGER
 
     with open(opt.data) as fh:
         data = yaml.safe_load(fh)
