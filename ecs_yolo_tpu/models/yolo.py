@@ -30,7 +30,9 @@ from ..nn import blocks_tail as BT
 from ..nn import experimental as BE
 from ..nn import blocks_v9 as BV
 from ..nn import blocks_star as BS
+from ..nn import blocks_tail2 as BT2
 from ..nn import heads as H
+from ..nn import segment as SEG
 
 YAML_DIR = Path(__file__).parent / "yaml"
 
@@ -110,12 +112,28 @@ C2_BLOCKS = {
     "BasicBlock_2C3": BV.BasicBlock_2C3,
     "BasicBlock_1C3": BV.BasicBlock_1C3,
     "Concat_res2C3": BV.Concat_res2C3,
+    # last tail slice (nn/blocks_tail2.py, nn/blocks_star.py)
+    "StarBlock_4": BS.StarBlock_4,
+    "StarBlock_5": BS.StarBlock_5,
+    "StarSConv": BS.StarSConv,
+    "MStarBlock_2": BS.MStarBlock_2,
+    "StarBlock_2C2f": BS.StarBlock_2C2f,
+    "BasicBlock_2C2f": BT2.BasicBlock_2C2f,
+    "BasicBlock_1C2f": BT2.BasicBlock_1C2f,
+    "Concat_res2C2f": BT2.Concat_res2C2f,
+    "HetConv": BT2.HetConv,
+    "AKConv": BT2.AKConv,
+    "ResNetBlock": BT2.ResNetBlock,
+    "ResNetLayerBasic": BT2.ResNetLayerBasic,
+    "ResNetLayerBo": BT2.ResNetLayerBo,
+    "BasicBlock_ms1": BT2.BasicBlock_ms1,
 }
 
 # blocks that repeat n times by inserting the count as the arg after c2
 # (reference models/yolo.py:489-494)
 CSP_N_BLOCKS = {"BottleneckCSP", "C3", "C3Ghost", "C2f", "RepC3", "BoT3", "C3TR",
-                "RepNCSP", "BasicBlock_2C3", "BasicBlock_1C3", "Concat_res2C3"}
+                "RepNCSP", "BasicBlock_2C3", "BasicBlock_1C3", "Concat_res2C3",
+                "BasicBlock_2C2f", "BasicBlock_1C2f", "Concat_res2C2f"}
 
 # blocks that keep the input channel count; args passed through verbatim
 PASS_BLOCKS = {
@@ -134,15 +152,27 @@ PASS_BLOCKS = {
     "CoT": BT.CoT,
     "ScConv": BT.ScConv,
     "PartialConv": BT.PartialConv,
+    "GN": BT2.GN,
+    "TPReLU": BT2.TPReLU,
+    "ClippedTPReLU": BS.ClippedTPReLU,
+    "Attention": BT2.Attention,
+    "OSRAAttention": BT2.OSRAAttention,
+    "DynamicConv2d": BT2.DynamicConv2d,
+    "TransxnetHybridTokenMixer": BT2.TransxnetHybridTokenMixer,
 }
 
 HEADS = {
     "Detect": H.Detect,
     "DDetect": H.DDetect,
+    "DualDetect": H.DualDetect,
     "DualDDetect": H.DualDDetect,
+    "TripleDetect": H.TripleDetect,
+    "TripleDDetect": H.TripleDDetect,
     "v10Detect": H.v10Detect,
     "ASFF_DDetect": H.ASFF_DDetect,
     "ASFF_v10Detect": H.ASFF_v10Detect,
+    "Segment": SEG.Segment,
+    "Panoptic": SEG.Panoptic,
 }
 
 EXTRA_BLOCKS = {
@@ -161,7 +191,9 @@ SNN_AWARE = (
     set(C2_BLOCKS)
     | {"mem_update", "Conv_7", "AIFI", "EMA", "DSSA", "SELayer",
        "CBLinear", "ASFF2", "ASFF3", "FasterNetBlock", "ELA", "CoT",
-       "ScConv", "HGBlock", "ContextGuideFusionModule"}
+       "ScConv", "HGBlock", "ContextGuideFusionModule",
+       "Attention", "OSRAAttention", "DynamicConv2d",
+       "TransxnetHybridTokenMixer"}
     | set(HEADS)
 ) - {"Contract", "Expand", "Silence", "CBFuse", "DropPath", "PartialConv"}
 
@@ -253,7 +285,8 @@ def parse_model(
             c2 = sum(chs[x] for x in f)
         elif name in HEADS:
             c2 = chs[f if isinstance(f, int) else f[0]]
-            head_info = {"name": name, "f": f, "index": i, "nc": args[0]}
+            head_info = {"name": name, "f": f, "index": i, "nc": args[0],
+                         "extra": tuple(args[1:])}
             if name == "Detect":
                 a = args[1]
                 if isinstance(a, int):  # e.g. `anchors: 2` anchor-free count
@@ -400,10 +433,14 @@ def _head_feat_shapes(out, head_name: str):
         return [(f.shape[2], f.shape[3]) for f in out]  # [N,na,ny,nx,no]
     if head_name in ("DDetect", "ASFF_DDetect"):
         return [(f.shape[2], f.shape[3]) for f in out]  # [N,no,h,w]
-    if head_name == "DualDDetect":
+    if head_name in ("DualDetect", "DualDDetect"):
         return [(f.shape[2], f.shape[3]) for f in out[1]]
+    if head_name in ("TripleDetect", "TripleDDetect"):
+        return [(f.shape[2], f.shape[3]) for f in out[-1]]
     if head_name in ("v10Detect", "ASFF_v10Detect"):
         return [(f.shape[2], f.shape[3]) for f in out.one2many]
+    if head_name in ("Segment", "Panoptic"):
+        return [(f.shape[2], f.shape[3]) for f in out[0]]
     raise KeyError(head_name)
 
 
@@ -503,6 +540,17 @@ def _with_head_args(spec, hidx, hname, head_info, strides, probe=False):
             a_grid = check_anchor_order(a_grid, strides)
         head_info["anchors_grid"] = a_grid
         args = (nc, _freeze(a_grid), tuple(strides))
+    elif hname == "Segment":
+        extra = head_info.get("extra", ())
+        nm = extra[0] if len(extra) > 0 else 32
+        npr = extra[1] if len(extra) > 1 else 256
+        args = (nc, nm, npr, 16, tuple(strides))
+    elif hname == "Panoptic":
+        extra = head_info.get("extra", ())
+        sem_nc = extra[0] if len(extra) > 0 else 93
+        nm = extra[1] if len(extra) > 1 else 32
+        npr = extra[2] if len(extra) > 2 else 256
+        args = (nc, sem_nc, nm, npr, 16, tuple(strides))
     else:
         # anchor-free heads: (nc, reg_max, strides)
         args = (nc, 16, tuple(strides))
@@ -541,6 +589,9 @@ def init_head_biases(model: BuiltModel, variables, imgsz: int = 640):
     if hname in ("ASFF_DDetect", "ASFF_v10Detect"):
         head = head.get("det", head)
         hname = {"ASFF_DDetect": "DDetect", "ASFF_v10Detect": "v10Detect"}[hname]
+    if hname == "Panoptic":
+        head = head.get("seg", head)
+        hname = "Segment"
 
     if hname == "Detect":
         na = len(model.head["anchors_grid"][0]) // 2
@@ -551,10 +602,17 @@ def init_head_biases(model: BuiltModel, variables, imgsz: int = 640):
             b = b.at[:, 4].add(math.log(8 / (640 / s) ** 2))
             b = b.at[:, 5:].add(math.log(0.6 / (nc - 0.999999)))
             head[f"m{i}"]["conv"]["bias"] = b.reshape(-1)
-    elif hname in ("DDetect", "DualDDetect", "v10Detect"):
+    elif hname in ("DDetect", "DualDetect", "DualDDetect", "TripleDetect",
+                   "TripleDDetect", "v10Detect", "Segment"):
+        dual = [("a_cv2_", "a_cv3_"), ("b_cv2_", "b_cv3_")]
+        triple = dual + [("c_cv2_", "c_cv3_")]
         prefixes = {
             "DDetect": [("cv2_", "cv3_")],
-            "DualDDetect": [("a_cv2_", "a_cv3_"), ("b_cv2_", "b_cv3_")],
+            "Segment": [("cv2_", "cv3_")],
+            "DualDetect": dual,
+            "DualDDetect": dual,
+            "TripleDetect": triple,
+            "TripleDDetect": triple,
             "v10Detect": [("cv2_", "cv3_"), ("one2one_cv2_", "one2one_cv3_")],
         }[hname]
         for box_p, cls_p in prefixes:

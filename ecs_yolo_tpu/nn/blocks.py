@@ -56,6 +56,7 @@ class SnnConv(nn.Module):
     g: int = 1
     use_bias: bool = False
     dilation: int = 1
+    kernel_init: Any = None  # override (e.g. zeros for AKConv offsets)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -72,7 +73,7 @@ class SnnConv(nn.Module):
             feature_group_count=self.g,
             use_bias=self.use_bias,
             kernel_dilation=_pair(self.dilation),
-            kernel_init=torch_conv_kernel_init,
+            kernel_init=self.kernel_init or torch_conv_kernel_init,
             bias_init=make_bias_init(fan_in),
             name="conv",
         )
@@ -476,6 +477,7 @@ class BasicBlock_2(nn.Module):
     c2: int
     k: int = 3
     s: int = 1
+    add: Any = True  # positional YAML-compat slot (reference ``add``, unused)
     snn: SNNConfig = DEFAULT_SNN
 
     @nn.compact

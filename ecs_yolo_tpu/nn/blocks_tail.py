@@ -26,6 +26,7 @@ from .blocks import (
     TBatchNorm,
     MemUpdate,
     Conv_3,
+    Conv_4,
     fold_t,
     unfold_t,
     max_pool_t,
@@ -593,31 +594,37 @@ class DualConv(nn.Module):
 
 
 class HGBlock(nn.Module):
-    """HGNetV2 block: n LightConvs + squeeze/excite-style 1x1 fusion
-    (reference :4247-4275)."""
+    """HGNetV2 block (reference :4247-4275): optional DWConv stride-2 entry,
+    n LightConv/Conv_3 stages, squeeze (Conv_3) + excitation (Conv_4) 1x1
+    fusion, optional residual."""
 
     cm: int
     c2: int
     k: int = 3
     n: int = 6
-    lightconv: bool = True
+    s: int = 1
+    lightconv: bool = False
     shortcut: bool = False
     snn: SNNConfig = DEFAULT_SNN
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        from .blocks_ext import LightConv
+        from .blocks_ext import LightConv, DWConv
 
+        if self.s == 2:
+            x = DWConv(x.shape[-1], self.k, 2, snn=self.snn, name="dw")(
+                x, training
+            )
         ys = [x]
         for i in range(self.n):
-            ys.append(
-                LightConv(self.cm, self.k, snn=self.snn, name=f"m{i}")(
-                    ys[-1], training
-                )
-            )
+            if self.lightconv:
+                stage = LightConv(self.cm, self.k, snn=self.snn, name=f"m{i}")
+            else:
+                stage = Conv_3(self.cm, self.k, 1, snn=self.snn, name=f"m{i}")
+            ys.append(stage(ys[-1], training))
         y = jnp.concatenate(ys, axis=-1)
         y = Conv_3(self.c2 // 2, 1, 1, snn=self.snn, name="sc")(y, training)
-        y = Conv_3(self.c2, 1, 1, snn=self.snn, name="ec")(y, training)
+        y = Conv_4(self.c2, 1, 1, snn=self.snn, name="ec")(y, training)
         return y + x if self.shortcut and x.shape[-1] == self.c2 else y
 
 
@@ -654,6 +661,7 @@ class MobileNetV3(nn.Module):
 class ContextGuideFusionModule(nn.Module):
     """Cross-gated two-input fusion (reference :1768-1790)."""
 
+    dim: Any = None  # positional YAML-compat slot (concat-dim arg, unused)
     snn: SNNConfig = DEFAULT_SNN
 
     @nn.compact

@@ -27,7 +27,7 @@ import flax.linen as nn
 
 from ..config import SNNConfig, DEFAULT_SNN
 from ..ops.anchors import make_anchors, dist2bbox, make_grid_v1
-from .blocks import SnnConv, Conv_B, Conv_7, DFL, MemUpdate
+from .blocks import SnnConv, Conv, Conv_B, Conv_7, DFL, MemUpdate
 
 
 def make_divisible(x, divisor: int):
@@ -275,6 +275,105 @@ class TripleDDetect(nn.Module):
         return y, tuple(ds)
 
 
+class _DFLTowerPlain(nn.Module):
+    """Plain-`Conv` box tower (reference DualDetect cv2/cv4,
+    models/yolo_snn.py:161-166: Conv -> Conv -> 1x1 conv, no groups)."""
+
+    c2: int
+    reg_max: int
+    snn: SNNConfig
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = Conv(self.c2, 3, snn=self.snn, name="0")(x, training)
+        y = Conv(self.c2, 3, snn=self.snn, name="1")(y, training)
+        return SnnConv(4 * self.reg_max, 1, use_bias=True, name="2")(y)
+
+
+class _ClsTowerPlain(nn.Module):
+    """Plain-`Conv` cls tower (reference DualDetect cv3/cv5)."""
+
+    c3: int
+    nc: int
+    snn: SNNConfig
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = Conv(self.c3, 3, snn=self.snn, name="0")(x, training)
+        y = Conv(self.c3, 3, snn=self.snn, name="1")(y, training)
+        return SnnConv(self.nc, 1, use_bias=True, name="2")(y)
+
+
+def _plain_branch(inputs, tag, nc, reg_max, snn, training):
+    ch0 = inputs[0].shape[-1]
+    c2 = max(ch0 // 4, reg_max * 4, 16)
+    c3 = max(ch0, min(nc * 2, 128))
+    out = []
+    for i, x in enumerate(inputs):
+        box = _mean_t(
+            _DFLTowerPlain(c2, reg_max, snn, name=f"{tag}cv2_{i}")(x, training)
+        )
+        cls = _mean_t(
+            _ClsTowerPlain(c3, nc, snn, name=f"{tag}cv3_{i}")(x, training)
+        )
+        out.append(jnp.concatenate([box, cls], axis=-1).transpose(0, 3, 1, 2))
+    return out
+
+
+class DualDetect(nn.Module):
+    """Dual-branch head with plain `Conv` towers (reference
+    models/yolo_snn.py:142-203).
+
+    NOTE: the reference forward concatenates tower outputs on dim=1 of a
+    5-D [T,B,C,H,W] tensor (a 4-D-era leftover), so it cannot actually run
+    on the SNN backbone; here the towers are followed by the mean-over-T
+    rate collapse like DualDDetect, making the head functional.  Inference
+    decodes the MAIN branch (d2)."""
+
+    nc: int = 80
+    reg_max: int = 16
+    strides: Tuple[float, ...] = ()
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], training: bool = False):
+        nl = len(xs) // 2
+        d1 = _plain_branch(xs[:nl], "a_", self.nc, self.reg_max, self.snn, training)
+        d2 = _plain_branch(xs[nl:], "b_", self.nc, self.reg_max, self.snn, training)
+        dfl2 = DFL(self.reg_max, name="dfl2")
+        if training:
+            return d1, d2
+        y = _decode_dfl(d2, self.nc, self.reg_max, self.strides, dfl2, training)
+        return y, (d1, d2)
+
+
+class TripleDetect(nn.Module):
+    """Triple-branch head with plain `Conv` towers (reference
+    models/yolo_snn.py:284-363).  Same 5-D NOTE as DualDetect; inference
+    decodes the LAST branch."""
+
+    nc: int = 80
+    reg_max: int = 16
+    strides: Tuple[float, ...] = ()
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], training: bool = False):
+        nl = len(xs) // 3
+        ds = [
+            _plain_branch(
+                xs[k * nl : (k + 1) * nl], f"{'abc'[k]}_",
+                self.nc, self.reg_max, self.snn, training,
+            )
+            for k in range(3)
+        ]
+        dfl = DFL(self.reg_max, name="dfl3")
+        if training:
+            return tuple(ds)
+        y = _decode_dfl(ds[-1], self.nc, self.reg_max, self.strides, dfl, training)
+        return y, tuple(ds)
+
+
 class V10Output(NamedTuple):
     """NMS-free head output (reference ModelOutput, models/yolo_snn.py:589)."""
 
@@ -375,6 +474,7 @@ class ASFF_v10Detect(nn.Module):
 
 
 HEAD_NAMES = (
-    "Detect", "DDetect", "DualDDetect", "v10Detect",
-    "ASFF_DDetect", "ASFF_v10Detect",
+    "Detect", "DDetect", "DualDetect", "DualDDetect",
+    "TripleDetect", "TripleDDetect", "v10Detect",
+    "ASFF_DDetect", "ASFF_v10Detect", "Segment", "Panoptic",
 )

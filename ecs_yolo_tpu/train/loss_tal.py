@@ -159,3 +159,27 @@ def compute_loss_dual(
         d2, targets, t_mask, strides, nc, reg_max
     )
     return aux + main, jnp.concatenate([items_a, items_m])
+
+
+def compute_loss_triple(
+    ds,
+    targets,
+    t_mask,
+    strides,
+    nc: int,
+    reg_max: int = 16,
+    aux_cls_gain: float = 0.25,
+):
+    """Triple-branch deep supervision (TripleDetect/TripleDDetect heads,
+    reference models/yolo_snn.py:284-448): two aux branches with
+    down-weighted cls gain + the main (last) branch."""
+    total = jnp.zeros(())
+    items = []
+    for k, d in enumerate(ds):
+        gains = (7.5, 0.5 * (aux_cls_gain if k < len(ds) - 1 else 1.0), 1.5)
+        li, it = compute_loss_tal(
+            d, targets, t_mask, strides, nc, reg_max, gains=gains
+        )
+        total = total + li
+        items.append(it)
+    return total, jnp.concatenate(items)

@@ -18,7 +18,12 @@ import optax
 from ..models.yolo import BuiltModel
 from .ema import ema_update
 from .loss_v1 import compute_loss_v1
-from .loss_tal import compute_loss_tal, compute_loss_v10, compute_loss_dual
+from .loss_tal import (
+    compute_loss_tal,
+    compute_loss_v10,
+    compute_loss_dual,
+    compute_loss_triple,
+)
 
 
 def _sparsity_grad(srtmp, sr):
@@ -80,12 +85,26 @@ def make_loss_fn(model: BuiltModel, hyp: Dict[str, float]):
         def loss(out, targets, t_mask):
             return compute_loss_v10(out, targets, t_mask, strides, nc)
 
-    elif head == "DualDDetect":
+    elif head in ("DualDetect", "DualDDetect"):
 
         def loss(out, targets, t_mask):
             return compute_loss_dual(
                 out[0], out[1], targets, t_mask, strides, nc
             )
+
+    elif head in ("TripleDetect", "TripleDDetect"):
+
+        def loss(out, targets, t_mask):
+            return compute_loss_triple(out, targets, t_mask, strides, nc)
+
+    elif head in ("Segment", "Panoptic"):
+        # detection part of the composite loss; the proto/coefficient mask
+        # term (nn/segment.py segment_mask_loss) needs mask batches, which
+        # the detection Dataset does not carry — the segment trainer adds it
+        # (reference utils/segment/loss_tal.py)
+
+        def loss(out, targets, t_mask):
+            return compute_loss_tal(out[0], targets, t_mask, strides, nc)
 
     else:
         raise KeyError(head)

@@ -39,9 +39,25 @@ def test_yaml_builds_and_traces(name):
     if model.head_name == "Detect":
         z, feats = out
         assert z.shape[-1] == model.nc + 5
-    elif model.head_name in ("DDetect", "ASFF_DDetect", "DualDDetect"):
+    elif model.head_name in (
+        "DDetect", "ASFF_DDetect", "DualDetect", "DualDDetect",
+        "TripleDetect", "TripleDDetect",
+    ):
         z = out[0]
         assert z.shape[1] == model.nc + 4
+    elif model.head_name == "Segment":
+        z = out[0]
+        assert z.shape[1] == model.nc + 4 + 32  # + mask coefficients
+    elif model.head_name == "Panoptic":
+        z = out[0]
+        assert z.shape[1] == model.nc + 4 + 32
     else:  # v10 family
         z = out.one2one[0]
         assert z.shape[1] == model.nc + 4
+
+
+def test_zoo_covers_reference(_ref_count=28):
+    """The reference ships ~30 configs (SURVEY §2.4); the zoo must carry at
+    least 28 (resnet-gold + rtdetr-resnet need Gold-YOLO / RTDETRDecoder
+    classes absent from the reference itself — see PARITY.md)."""
+    assert len(ALL_YAMLS) >= _ref_count, ALL_YAMLS

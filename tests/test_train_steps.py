@@ -38,7 +38,13 @@ def one_step(cfg, sr: float = 0.0):
 
 
 @pytest.mark.parametrize(
-    "cfg", ["resnet10.yaml", "resnet18.yaml", "res10-dual.yaml", "res10v10.yaml"]
+    "cfg",
+    [
+        "resnet10.yaml", "resnet18.yaml", "res10-dual.yaml", "res10v10.yaml",
+        # round-2 head registrations (VERDICT item 5)
+        "res10-dualplain.yaml", "res10-triple.yaml",
+        "res10-seg.yaml", "res10-panoptic.yaml",
+    ],
 )
 def test_head_family_train_step(cfg):
     model, params_before, new_state, metrics = one_step(cfg)
