@@ -261,7 +261,7 @@ class EventDataset:
         return img, out_l, mask
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
-                drop_last: bool = True):
+                drop_last: bool = True, yield_count: bool = False):
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
@@ -271,4 +271,19 @@ class EventDataset:
         for i in range(0, end, batch_size):
             idxs = order[i : i + batch_size]
             ims, lbs, ms = zip(*(self[int(j)] for j in idxs))
-            yield np.stack(ims), np.stack(lbs), np.stack(ms)
+            ims, lbs, ms = np.stack(ims), np.stack(lbs), np.stack(ms)
+            if len(idxs) < batch_size and not drop_last:
+                padn = batch_size - len(idxs)
+                ims = np.concatenate(
+                    [ims, np.zeros((padn,) + ims.shape[1:], ims.dtype)]
+                )
+                lbs = np.concatenate(
+                    [lbs, np.zeros((padn,) + lbs.shape[1:], lbs.dtype)]
+                )
+                ms = np.concatenate(
+                    [ms, np.zeros((padn,) + ms.shape[1:], ms.dtype)]
+                )
+            if yield_count:
+                yield ims, lbs, ms, len(idxs)
+            else:
+                yield ims, lbs, ms

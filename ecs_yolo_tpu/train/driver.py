@@ -9,7 +9,6 @@ checkpointing is orbax.
 
 from __future__ import annotations
 
-import csv
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -25,14 +24,9 @@ from ..models.yolo import build_model
 from ..parallel.mesh import make_mesh, batch_sharding, replicated
 from ..utils.checkpoint import save_checkpoint, strip_optimizer
 from ..utils.general import LOGGER, Callbacks, EarlyStopping, increment_path
-from .optim import build_optimizer
+from ..utils.loggers import Loggers
+from .optim import build_optimizer, make_lr_fn
 from .trainer import create_train_state, make_train_step
-
-CSV_KEYS = [
-    "epoch", "train/box_loss", "train/obj_loss", "train/cls_loss",
-    "metrics/precision", "metrics/recall", "metrics/mAP_0.5",
-    "metrics/mAP_0.5:0.95", "fitness",
-]
 
 
 def train(
@@ -61,27 +55,76 @@ def train(
     resume: Optional[str] = None,
     image_weights: bool = False,
     remat: bool = False,
+    events: bool = False,
+    autoanchor: bool = True,
+    loggers_include=("csv", "tb"),
 ):
-    """Returns (state, best_fitness, results_history)."""
+    """Returns (state, best_fitness, results_history).
+
+    ``events=True`` trains from pre-voxelized event samples ([B,T,H,W,C]
+    batches, reference g1-resnet/train_g1.py:213,295) — the model's 5-D
+    input mode; mosaic/multi-scale/image-weights are image-space-only and
+    are skipped."""
     hyp = {**HYP_SCRATCH, **(hyp or {})}
     callbacks = callbacks or Callbacks()
     save_dir = increment_path(save_dir, mkdir=True)
     w = Path(save_dir) / "weights"
     w.mkdir(parents=True, exist_ok=True)
 
-    model = build_model(cfg, nc=nc, remat=remat)
+    snn_cfg = None
+    if events:
+        from ..config import SNNConfig
+        from ..data.events import EventDataset
+
+        train_ds = EventDataset(train_path, img_size=imgsz,
+                                max_labels=max_labels)
+        val_ds = (
+            EventDataset(val_path, img_size=imgsz, max_labels=max_labels)
+            if val_path else None
+        )
+        image_weights = multi_scale = False
+        close_mosaic = 0
+        # the time window is a property of the event stream (T=5 for Gen1,
+        # reference g1-resnet/train_g1.py:488) — size the model to it
+        t_data = train_ds[0][0].shape[0]
+        snn_cfg = SNNConfig(time_window=t_data)
+        LOGGER.info(f"event mode: T={t_data} from data")
+    else:
+        train_ds = Dataset(
+            train_path, img_size=imgsz, augment=True, hyp=hyp,
+            max_labels=max_labels,
+        )
+        val_ds = (
+            Dataset(val_path, img_size=imgsz, augment=False,
+                    max_labels=max_labels)
+            if val_path
+            else None
+        )
+
+    anchors_override = None
+    if autoanchor and not events and not resume:
+        # pre-train BPR gate + kmeans/GA re-fit (reference train.py:239)
+        probe = build_model(cfg, nc=nc)
+        if probe.head_name == "Detect":
+            from ..utils.autoanchor import check_anchors
+
+            anchors_px = np.array(probe.head["anchors_px"], np.float64)
+            shapes = np.full((len(train_ds), 2), imgsz, np.float64)
+            new_a, changed = check_anchors(
+                train_ds.labels, shapes, anchors_px,
+                thr=hyp.get("anchor_t", 4.0), imgsz=imgsz,
+            )
+            if changed:
+                anchors_override = [
+                    [float(v) for v in level] for level in
+                    np.asarray(new_a).reshape(anchors_px.shape)
+                ]
+                LOGGER.info(f"autoanchor: new anchors {anchors_override}")
+
+    model = build_model(cfg, nc=nc, remat=remat, anchors=anchors_override,
+                        snn=snn_cfg)
     key = jax.random.PRNGKey(seed)
     variables = model.init(key, imgsz=min(imgsz, 256))
-
-    train_ds = Dataset(
-        train_path, img_size=imgsz, augment=True, hyp=hyp,
-        max_labels=max_labels,
-    )
-    val_ds = (
-        Dataset(val_path, img_size=imgsz, augment=False, max_labels=max_labels)
-        if val_path
-        else None
-    )
     steps_per_epoch = max(len(train_ds) // batch_size, 1)
     accumulate = max(round(nbs / batch_size), 1)
 
@@ -126,6 +169,18 @@ def train(
     best_fitness = 0.0
     start_epoch = 0
     history = []
+    loggers = Loggers(save_dir, include=loggers_include)
+    # LR readback for the x/lr{0,1,2} log keys (same schedules the optimizer
+    # uses, evaluated at the apply count)
+    sched_kw = dict(
+        lr0=hyp["lr0"], lrf=hyp["lrf"], epochs=epochs,
+        steps_per_epoch=steps_per_epoch / accumulate, cos_lr=cos_lr,
+        warmup_epochs=hyp["warmup_epochs"],
+        warmup_bias_lr=hyp["warmup_bias_lr"],
+        min_warmup_steps=100.0 / accumulate,
+    )
+    lr_fn_w = make_lr_fn(is_bias=False, **sched_kw)
+    lr_fn_b = make_lr_fn(is_bias=True, **sched_kw)
     if resume:
         # reference `--resume` / smart_resume (train.py:876-886,
         # utils/torch_utils2.py:458): restore params/opt/EMA + epoch counters
@@ -150,7 +205,6 @@ def train(
         stopper.best_fitness = best_fitness
         stopper.best_epoch = start_epoch - 1
         LOGGER.info(f"resumed from {resume} at epoch {start_epoch}")
-    csv_path = Path(save_dir) / "results.csv"
     LOGGER.info(
         f"training {cfg} (head {model.head_name}) for {epochs} epochs, "
         f"bs={batch_size}, imgsz={imgsz}, {len(train_ds)} images"
@@ -216,15 +270,30 @@ def train(
         history.append(results)
         callbacks.run("on_fit_epoch_end")
 
-        write_header = not csv_path.exists()
-        with open(csv_path, "a", newline="") as fh:
-            wcsv = csv.writer(fh)
-            if write_header:
-                wcsv.writerow(CSV_KEYS)
-            wcsv.writerow(
-                [epoch, *mloss.round(5), results["mp"], results["mr"],
-                 results["map50"], results["map"], fit]
-            )
+        # the reference's 13 fixed log keys (utils/loggers/__init__.py:47-50)
+        # fanned out to CSV/TB/W&B.  val/*_loss: our val path does not
+        # accumulate losses (metrics-only), logged as 0 like reference
+        # standalone val.
+        applies = int(state.step) // max(accumulate, 1)
+        loggers.log_metrics(
+            {
+                "train/box_loss": float(mloss[0]),
+                "train/obj_loss": float(mloss[1]),
+                "train/cls_loss": float(mloss[2]),
+                "metrics/precision": results["mp"],
+                "metrics/recall": results["mr"],
+                "metrics/mAP_0.5": results["map50"],
+                "metrics/mAP_0.5:0.95": results["map"],
+                "val/box_loss": 0.0,
+                "val/obj_loss": 0.0,
+                "val/cls_loss": 0.0,
+                "x/lr0": float(lr_fn_w(applies)),
+                "x/lr1": float(lr_fn_w(applies)),
+                "x/lr2": float(lr_fn_b(applies)),
+                "fitness": fit,
+            },
+            step=epoch,
+        )
 
         if fit >= best_fitness:
             best_fitness = fit
@@ -248,4 +317,5 @@ def train(
     if (w / "best" / "tree").exists():
         strip_optimizer(w / "best", w / "best_stripped")
     callbacks.run("on_train_end")
+    loggers.close()
     return state, best_fitness, history

@@ -19,6 +19,7 @@ if not LOGGER.handlers:
     h.setFormatter(logging.Formatter("%(message)s"))
     LOGGER.addHandler(h)
     LOGGER.setLevel(logging.INFO)
+    LOGGER.propagate = False  # avoid double lines when root has a handler
 
 
 def select_device(device: str = ""):

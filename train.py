@@ -38,6 +38,13 @@ def parse_opt():
                    help="rematerialize activations (fit bigger models/batches)")
     p.add_argument("--device", default="",
                    help="jax platform, e.g. cpu or tpu (reference --device)")
+    p.add_argument("--evolve", type=int, nargs="?", const=300, default=0,
+                   help="evolve hyperparameters for N generations "
+                        "(reference train.py --evolve)")
+    p.add_argument("--events", action="store_true",
+                   help="train from pre-voxelized event samples "
+                        "(reference g1-resnet/train_g1.py)")
+    p.add_argument("--noautoanchor", action="store_true")
     return p.parse_args()
 
 
@@ -59,25 +66,54 @@ def main(opt):
 
     close_mosaic = int(hyp.pop("close_mosaic", 0)) if hyp else 0
     LOGGER.info(f"train: cfg={opt.cfg} data={opt.data} nc={data['nc']}")
-    train(
+
+    kwargs = dict(
         cfg=opt.cfg,
         train_path=str(train_path),
         val_path=str(val_path) if val_path else None,
         nc=1 if opt.single_cls else data["nc"],
-        hyp=hyp,
         epochs=opt.epochs,
         batch_size=opt.batch_size,
         imgsz=opt.imgsz,
         optimizer=opt.optimizer,
         cos_lr=not opt.linear_lr,
         patience=opt.patience,
-        save_dir=f"{opt.project}/{opt.name}",
         max_labels=opt.max_labels,
         close_mosaic=close_mosaic,
         seed=opt.seed,
         save_period=opt.save_period,
         remat=opt.remat,
+        events=opt.events,
+        autoanchor=not opt.noautoanchor,
     )
+
+    if opt.evolve:
+        # GA over the hyp space (reference train.py --evolve): short runs,
+        # no per-gen val churn; fitness = best val fitness of the run
+        from ecs_yolo_tpu.data.hyps import HYP_SCRATCH
+        from ecs_yolo_tpu.train.evolve import evolve
+
+        base = {**HYP_SCRATCH, **hyp}
+        if kwargs["val_path"] is None:
+            # the GA needs a fitness signal: always validate during evolve
+            # (reference evolve runs val on each generation's final epoch)
+            kwargs["val_path"] = kwargs["train_path"]
+
+        def train_fn(h):
+            _, best_fit, _ = train(
+                hyp=h, save_dir=f"{opt.project}/{opt.name}/gen", **kwargs
+            )
+            return best_fit
+
+        best = evolve(
+            train_fn, base, generations=opt.evolve,
+            save_dir=f"{opt.project}/{opt.name}", seed=opt.seed,
+        )
+        with open(Path(opt.project) / opt.name / "hyp_evolve.yaml", "w") as fh:
+            yaml.safe_dump(best, fh)
+        return
+
+    train(hyp=hyp, save_dir=f"{opt.project}/{opt.name}", **kwargs)
 
 
 if __name__ == "__main__":
