@@ -44,6 +44,13 @@ class SNNConfig:
     # Currently OFF the hot path — measured slower than XLA's fused unrolled
     # scan on v5e (see docs/DESIGN.md); kept for further Mosaic tuning.
     fused_inference: bool = False
+    # selective rematerialization: checkpoint ONLY the neuron recurrences
+    # (the T-step scan materializes ~3 state tensors per step per site for
+    # the backward — the dominant training-memory term).  Much cheaper to
+    # recompute than whole layers (convs are not re-run), so this is the
+    # preferred way to fit T=4/640px training in HBM; ``remat=True`` on
+    # build_model remains the big hammer (every layer).
+    remat_neuron: bool = False
 
     def replace(self, **kw: Any) -> "SNNConfig":
         return dataclasses.replace(self, **kw)

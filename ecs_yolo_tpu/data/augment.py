@@ -253,3 +253,53 @@ def flip_ud(im, labels):
         labels = labels.copy()
         labels[:, 2] = 1 - labels[:, 2]
     return im, labels
+
+
+class Albumentations:
+    """Optional albumentations pipeline hook (reference
+    utils/augmentations.py:16-45): Blur / MedianBlur / ToGray / CLAHE each
+    at p=0.01, built only when the package imports.  Albumentations is not
+    in this image, so the hook degrades to identity — the capability edge
+    is the gated import, exactly like the reference's try/except."""
+
+    def __init__(self, p: float = 1.0):
+        self.p = p
+        self.transform = None
+        try:
+            import albumentations as A
+
+            self.transform = A.Compose(
+                [
+                    A.Blur(p=0.01),
+                    A.MedianBlur(p=0.01),
+                    A.ToGray(p=0.01),
+                    A.CLAHE(p=0.01),
+                    A.RandomBrightnessContrast(p=0.0),
+                    A.RandomGamma(p=0.0),
+                    A.ImageCompression(quality_lower=75, p=0.0),
+                ],
+                bbox_params=A.BboxParams(
+                    format="yolo", label_fields=["class_labels"]
+                ),
+            )
+        except ImportError:
+            pass
+
+    def __call__(self, im, labels, rng=None):
+        """im uint8 HWC, labels [n,5] (cls, xywh normalized)."""
+        if self.transform is None or not len(labels):
+            return im, labels
+        if rng is not None and rng.random() > self.p:
+            return im, labels
+        new = self.transform(
+            image=im, bboxes=labels[:, 1:], class_labels=labels[:, 0]
+        )
+        im = new["image"]
+        if len(new["bboxes"]):
+            labels = np.array(
+                [[c, *b] for c, b in zip(new["class_labels"], new["bboxes"])],
+                np.float32,
+            )
+        else:
+            labels = np.zeros((0, 5), np.float32)
+        return im, labels

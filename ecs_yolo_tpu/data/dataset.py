@@ -25,6 +25,7 @@ import numpy as np
 from PIL import Image
 
 from .augment import (
+    Albumentations,
     augment_hsv,
     box_candidates,
     flip_lr,
@@ -121,6 +122,7 @@ class Dataset:
         self.max_labels = max_labels
         self.single_cls = single_cls
         self.labels = self._load_labels(cache_dir)
+        self.albumentations = Albumentations() if augment else None
         self.n = len(self.img_files)
         self.indices = np.arange(self.n)
         self.mosaic_border = [-img_size // 2, -img_size // 2]
@@ -182,6 +184,31 @@ class Dataset:
     def _image_hw(path: str):
         with Image.open(path) as im:
             return im.height, im.width
+
+    def meta(self, i: int) -> Dict:
+        """Per-image eval metadata (reference ``shapes`` in
+        utils/datasets.py __getitem__ + image ids in val.py:56-60):
+        COCO image id (numeric filename stem, else the stem string), native
+        (h0, w0) and the letterbox ``ratio_pad`` that maps the val canvas
+        back to native space via ``ops.boxes.scale_coords``.  Valid for the
+        non-augmented (val) path."""
+        p = Path(self.img_files[i])
+        img_id = int(p.stem) if p.stem.isnumeric() else p.stem
+        h0, w0 = self._image_hw(self.img_files[i])
+        r0 = self.img_size / max(h0, w0)
+        h, w = (int(h0 * r0), int(w0 * r0)) if r0 != 1 else (h0, w0)
+        shape = tuple(self.batch_shape[i]) if self.rect else (
+            self.img_size, self.img_size)
+        r = min(shape[0] / h, shape[1] / w, 1.0)  # letterbox scaleup=False
+        new_unpad = (int(round(w * r)), int(round(h * r)))
+        pad = ((shape[1] - new_unpad[0]) / 2, (shape[0] - new_unpad[1]) / 2)
+        return dict(
+            id=img_id,
+            path=self.img_files[i],
+            native_hw=(h0, w0),
+            canvas_hw=shape,
+            ratio_pad=((h / h0 * r, w / w0 * r), pad),
+        )
 
     def load_image(self, i: int):
         """Load + resize longest side to img_size (keeps ratio)."""
@@ -291,6 +318,10 @@ class Dataset:
                 labels[:, 4] = labels[:, 4] * h * ratio[1] / nh
 
         if self.augment:
+            # optional albumentations pipeline (identity when the package
+            # is absent — reference utils/augmentations.py:16, applied in
+            # __getitem__ before HSV, utils/datasets.py:607)
+            img, labels = self.albumentations(img, labels, rng=rng)
             img = augment_hsv(
                 img,
                 hyp.get("hsv_h", 0.015),
@@ -313,13 +344,10 @@ class Dataset:
 
     # -- batching -------------------------------------------------------------
 
-    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
-                drop_last: bool = True, yield_count: bool = False):
-        """Yield (images [B,H,W,3], labels [B,M,5], masks [B,M]) batches.
-        In rect mode, batches group by aspect-ratio bucket so each bucket
-        shape compiles once.  With ``yield_count`` each batch also carries
-        the number of REAL (non-padded) rows, so eval loops can skip the
-        zero-padded tail of the last partial batch."""
+    def _batch_plan(self, batch_size: int, shuffle: bool, seed: int,
+                    drop_last: bool) -> List[np.ndarray]:
+        """The ordered list of per-batch index groups (rect buckets kept
+        contiguous so each bucket shape compiles once)."""
         order = np.array(self.indices)  # image_weights may resample these
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
@@ -330,6 +358,7 @@ class Dataset:
             ]
         else:
             groups = [order]
+        plan: List[np.ndarray] = []
         for grp in groups:
             n = len(grp)
             if n == 0:
@@ -337,18 +366,125 @@ class Dataset:
             end = n - (n % batch_size) if drop_last else n
             if end == 0:
                 end = n
-            for i in range(0, end, batch_size):
-                idxs = grp[i : i + batch_size]
-                ims, lbs, ms = zip(*(self[int(j)] for j in idxs))
-                ims = np.stack(ims)
-                if len(idxs) < batch_size and not drop_last:
-                    padn = batch_size - len(idxs)
-                    ims = np.concatenate(
-                        [ims, np.zeros((padn,) + ims.shape[1:], ims.dtype)]
-                    )
-                    lbs = list(lbs) + [np.zeros_like(lbs[0])] * padn
-                    ms = list(ms) + [np.zeros_like(ms[0])] * padn
-                if yield_count:
-                    yield ims, np.stack(lbs), np.stack(ms), len(idxs)
-                else:
-                    yield ims, np.stack(lbs), np.stack(ms)
+            plan += [grp[i : i + batch_size] for i in range(0, end, batch_size)]
+        return plan
+
+    def _collate(self, idxs, items, batch_size: int, drop_last: bool,
+                 yield_count: bool, yield_idx: bool):
+        ims, lbs, ms = zip(*items)
+        ims = np.stack(ims)
+        if len(idxs) < batch_size and not drop_last:
+            padn = batch_size - len(idxs)
+            ims = np.concatenate(
+                [ims, np.zeros((padn,) + ims.shape[1:], ims.dtype)]
+            )
+            lbs = list(lbs) + [np.zeros_like(lbs[0])] * padn
+            ms = list(ms) + [np.zeros_like(ms[0])] * padn
+        if yield_idx:
+            return (ims, np.stack(lbs), np.stack(ms), len(idxs),
+                    [int(j) for j in idxs])
+        if yield_count:
+            return ims, np.stack(lbs), np.stack(ms), len(idxs)
+        return ims, np.stack(lbs), np.stack(ms)
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
+                drop_last: bool = True, yield_count: bool = False,
+                yield_idx: bool = False, workers: int = 0, prefetch: int = 2,
+                host_shard=None):
+        """Yield (images [B,H,W,3], labels [B,M,5], masks [B,M]) batches.
+        In rect mode, batches group by aspect-ratio bucket so each bucket
+        shape compiles once.  With ``yield_count`` each batch also carries
+        the number of REAL (non-padded) rows, so eval loops can skip the
+        zero-padded tail of the last partial batch.  With ``yield_idx`` it
+        additionally carries the dataset indices of the real rows, so eval
+        loops can fetch per-image ``meta`` (native shapes / COCO ids).
+
+        ``workers > 0`` decodes+augments asynchronously on a thread pool and
+        keeps ``prefetch`` assembled batches ahead of the consumer — the
+        equivalent of the reference's multi-worker InfiniteDataLoader
+        (utils/datasets.py:122-156), so the accelerator never waits on host
+        image decode at eval throughput.
+
+        ``host_shard=(rank, world)`` is the DistributedSampler equivalent
+        (reference utils/datasets.py:95-156): every host computes the SAME
+        seeded batch plan over the GLOBAL batch size, then decodes only its
+        contiguous 1/world slice of each batch — the caller reassembles the
+        global array via ``parallel.multihost.to_global``."""
+        plan = self._batch_plan(batch_size, shuffle, seed, drop_last)
+        if host_shard is not None:
+            rank, world = host_shard
+            if batch_size % world:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by {world} hosts"
+                )
+            per = batch_size // world
+            plan = [idxs[rank * per : (rank + 1) * per] for idxs in plan
+                    if len(idxs) == batch_size]  # full batches only
+            batch_size = per
+        if workers <= 0:
+            for idxs in plan:
+                yield self._collate(
+                    idxs, [self[int(j)] for j in idxs],
+                    batch_size, drop_last, yield_count, yield_idx,
+                )
+            return
+
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+        stop = threading.Event()
+
+        def _produce():
+            try:
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    from collections import deque
+
+                    inflight = deque()
+                    it = iter(plan)
+
+                    def _submit():
+                        idxs = next(it, None)
+                        if idxs is not None:
+                            inflight.append(
+                                (idxs,
+                                 [ex.submit(self.__getitem__, int(j))
+                                  for j in idxs])
+                            )
+
+                    for _ in range(max(prefetch, 1) + 1):
+                        _submit()
+                    while inflight and not stop.is_set():
+                        idxs, futs = inflight.popleft()
+                        batch = self._collate(
+                            idxs, [f.result() for f in futs],
+                            batch_size, drop_last, yield_count, yield_idx,
+                        )
+                        while not stop.is_set():
+                            try:
+                                q.put(batch, timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+                        _submit()
+            except BaseException as e:  # surfaced to the consumer
+                if not stop.is_set():
+                    q.put(("__batches_error__", e))
+                return
+            if not stop.is_set():
+                q.put(None)
+
+        thread = threading.Thread(target=_produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if (isinstance(item, tuple) and len(item) == 2
+                        and item[0] == "__batches_error__"):
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()

@@ -261,7 +261,12 @@ class EventDataset:
         return img, out_l, mask
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
-                drop_last: bool = True, yield_count: bool = False):
+                drop_last: bool = True, yield_count: bool = False,
+                workers: int = 0, prefetch: int = 2, host_shard=None):
+        # ``workers``/``prefetch`` accepted for Dataset API compatibility;
+        # event samples are pre-voxelized .npy loads (cheap), so the async
+        # path is unnecessary here.
+        del workers, prefetch
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
@@ -270,6 +275,13 @@ class EventDataset:
             end = len(self)
         for i in range(0, end, batch_size):
             idxs = order[i : i + batch_size]
+            if host_shard is not None:
+                # per-host slice of the global batch (see Dataset.batches)
+                rank, world = host_shard
+                if len(idxs) < batch_size:
+                    continue
+                per = batch_size // world
+                idxs = idxs[rank * per : (rank + 1) * per]
             ims, lbs, ms = zip(*(self[int(j)] for j in idxs))
             ims, lbs, ms = np.stack(ims), np.stack(lbs), np.stack(ms)
             if len(idxs) < batch_size and not drop_last:

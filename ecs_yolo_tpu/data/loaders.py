@@ -176,3 +176,59 @@ class LoadImages:
             )
             im = im.astype(np.float32) / 255.0
             yield path, im[None], im0  # [1,H,W,3], original
+
+
+class LoadScreenshots:
+    """Screen-capture source (reference utils/dataloaders.py:188
+    ``LoadScreenshots``): ``screen [left top width height]`` sources, one
+    letterboxed frame per iteration via ``mss``.  mss is not installed in
+    this image, so construction raises with the same install hint the
+    reference's check_requirements would — the source-string parsing and
+    frame path stay importable/testable."""
+
+    @staticmethod
+    def parse_source(source: str):
+        """'screen 0 100 200 512 256' -> (screen, left, top, w, h)."""
+        parts = str(source).split()[1:]  # drop the 'screen' keyword
+        screen, left, top, width, height = 0, None, None, None, None
+        if len(parts) == 1:
+            screen = int(parts[0])
+        elif len(parts) == 4:
+            left, top, width, height = (int(x) for x in parts)
+        elif len(parts) == 5:
+            screen, left, top, width, height = (int(x) for x in parts)
+        return screen, left, top, width, height
+
+    def __init__(self, source: str, img_size: int = 640, stride: int = 32,
+                 auto: bool = False):
+        try:
+            import mss  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "LoadScreenshots requires `pip install mss` (not available "
+                "in this image)"
+            ) from e
+        self.screen, left, top, width, height = self.parse_source(source)
+        self.img_size, self.stride, self.auto = img_size, stride, auto
+        self.sct = mss.mss()
+        mon = self.sct.monitors[self.screen]
+        self.monitor = {
+            "left": mon["left"] if left is None else mon["left"] + left,
+            "top": mon["top"] if top is None else mon["top"] + top,
+            "width": width or mon["width"],
+            "height": height or mon["height"],
+        }
+        self.frame = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        im0 = np.asarray(self.sct.grab(self.monitor))[:, :, :3][:, :, ::-1]
+        im, _, _ = letterbox(
+            np.ascontiguousarray(im0), self.img_size, stride=self.stride,
+            auto=self.auto,
+        )
+        im = im.astype(np.float32) / 255.0
+        self.frame += 1
+        return f"screen{self.screen}_{self.frame}", im[None], im0

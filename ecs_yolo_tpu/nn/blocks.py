@@ -102,14 +102,19 @@ class TBatchNorm(nn.Module):
             use_running_average=not training,
             momentum=0.9,
             epsilon=1e-5,
+            # statistics/normalization in fp32 even under bf16 compute —
+            # torch AMP keeps BN in fp32 for the same reason (the reference
+            # trains under autocast, train.py:553); running stats stay fp32
+            dtype=jnp.float32,
             scale_init=nn.initializers.constant(gamma0),
             bias_init=nn.initializers.zeros,
             name="bn",
         )
+        in_dtype = x.dtype
         if x.ndim == 5:
             y, t = fold_t(x)
-            return unfold_t(bn(y), t)
-        return bn(x)
+            return unfold_t(bn(y).astype(in_dtype), t)
+        return bn(x).astype(in_dtype)
 
 
 class MemUpdate(nn.Module):
@@ -126,7 +131,9 @@ class MemUpdate(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         if not self.snn.ecs:
-            return lif_scan(x, self.snn, act=self.act)
+            scan = (jax.checkpoint(lif_scan, static_argnums=(1, 2))
+                    if self.snn.remat_neuron else lif_scan)
+            return scan(x, self.snn, self.act)
 
         c = x.shape[-1]
         dw_fan_in = 9  # depthwise: fan_in = k*k * (C/groups=1)
@@ -139,29 +146,31 @@ class MemUpdate(nn.Module):
             "spread_pw_kernel", torch_conv_kernel_init, (1, 1, c, c)
         )
         pw_bias = self.param("spread_pw_bias", make_bias_init(pw_fan_in), (c,))
-        dtype = x.dtype
-        dwb = dw_bias.astype(dtype)
-        pwb = pw_bias.astype(dtype)
-
         # NOTE: a shift-add depthwise measured 25% faster in an ISOLATED
         # stem-layer micro-benchmark but 20% slower in full-model context
         # (it breaks XLA's cross-layer fusion) — the conv kernels stay.
-        def spread(s: jax.Array) -> jax.Array:
-            d = jax.lax.conv_general_dilated(
-                s, dw_kernel.astype(dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=c,
-            ) + dwb
-            return jax.lax.conv_general_dilated(
-                d, pw_kernel.astype(dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + pwb
+        def _scan(x, dwk, dwbias, pwk, pwbias):
+            dtype = x.dtype
+
+            def spread(s: jax.Array) -> jax.Array:
+                d = jax.lax.conv_general_dilated(
+                    s, dwk.astype(dtype), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=c,
+                ) + dwbias.astype(dtype)
+                return jax.lax.conv_general_dilated(
+                    d, pwk.astype(dtype), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + pwbias.astype(dtype)
+
+            return ecs_lif_scan(x, spread, self.snn, act=self.act)
 
         # NOTE: a fused Pallas ECS kernel exists (snn/pallas_kernels.py) but
         # currently measures 2.4x slower than XLA's scan on v5e (concat-based
         # shifts + rolled loop defeat Mosaic pipelining) — kept experimental;
         # the scan path is the production ECS route for now.
-        spikes = ecs_lif_scan(x, spread, self.snn, act=self.act)
+        scan = jax.checkpoint(_scan) if self.snn.remat_neuron else _scan
+        spikes = scan(x, dw_kernel, dw_bias, pw_kernel, pw_bias)
         if not self.act:
             self.sow("spike_stats", "firing_rate", jnp.mean(spikes))
         return spikes

@@ -53,11 +53,17 @@ def bbox_iou(
     CIoU: bool = False,
     SIoU: bool = False,
     EIoU: bool = False,
+    Focal: bool = False,
+    gamma: float = 0.5,
     eps: float = 1e-7,
 ):
     """Elementwise IoU (broadcasting) with the reference's variant switch.
 
     Boxes are ``[..., 4]``; with ``xywh=True`` they are (cx, cy, w, h).
+    ``Focal=True`` additionally returns the focal weight
+    ``(inter/union)**gamma`` as a second output — the reference's
+    Focal_{G,D,C,E,S}IoU variants (utils/metrics.py:263-320).  The
+    reference's alpha-IoU exponent is fixed at its default alpha=1.
     """
     if xywh:
         (x1, y1, w1, h1) = jnp.split(box1, 4, axis=-1)
@@ -78,27 +84,33 @@ def bbox_iou(
     union = w1 * h1 + w2 * h2 - inter + eps
     iou = inter / union
 
+    def _ret(val):
+        val = val.squeeze(-1)
+        if Focal:
+            return val, ((inter / union) ** gamma).squeeze(-1)
+        return val
+
     if not (GIoU or DIoU or CIoU or SIoU or EIoU):
-        return iou.squeeze(-1)
+        return _ret(iou)
 
     cw = jnp.maximum(b1_x2, b2_x2) - jnp.minimum(b1_x1, b2_x1)
     ch = jnp.maximum(b1_y2, b2_y2) - jnp.minimum(b1_y1, b2_y1)
     if GIoU:
         c_area = cw * ch + eps
-        return (iou - (c_area - union) / c_area).squeeze(-1)
+        return _ret(iou - (c_area - union) / c_area)
 
     c2 = cw**2 + ch**2 + eps
     rho2 = ((b2_x1 + b2_x2 - b1_x1 - b1_x2) ** 2 + (b2_y1 + b2_y2 - b1_y1 - b1_y2) ** 2) / 4
     if DIoU:
-        return (iou - rho2 / c2).squeeze(-1)
+        return _ret(iou - rho2 / c2)
     if CIoU:
         v = (4 / math.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
         alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
-        return (iou - (rho2 / c2 + v * alpha)).squeeze(-1)
+        return _ret(iou - (rho2 / c2 + v * alpha))
     if EIoU:
         rho_w2 = (w2 - w1) ** 2
         rho_h2 = ((b2_y2 - b2_y1) - (b1_y2 - b1_y1)) ** 2
-        return (iou - (rho2 / c2 + rho_w2 / (cw**2 + eps) + rho_h2 / (ch**2 + eps))).squeeze(-1)
+        return _ret(iou - (rho2 / c2 + rho_w2 / (cw**2 + eps) + rho_h2 / (ch**2 + eps)))
     # SIoU (https://arxiv.org/pdf/2205.12740) — reference utils/metrics.py:291
     s_cw = (b2_x1 + b2_x2 - b1_x1 - b1_x2) * 0.5 + eps
     s_ch = (b2_y1 + b2_y2 - b1_y1 - b1_y2) * 0.5 + eps
@@ -115,7 +127,7 @@ def bbox_iou(
     omiga_w = jnp.abs(w1 - w2) / jnp.maximum(w1, w2)
     omiga_h = jnp.abs(h1 - h2) / jnp.maximum(h1, h2)
     shape_cost = (1 - jnp.exp(-omiga_w)) ** 4 + (1 - jnp.exp(-omiga_h)) ** 4
-    return (iou - 0.5 * (distance_cost + shape_cost)).squeeze(-1)
+    return _ret(iou - 0.5 * (distance_cost + shape_cost))
 
 
 def wiou(box1, box2, xywh: bool = True, eps: float = 1e-7):

@@ -40,8 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import SNNConfig
 
 
+# v5e cores have 128 MB of VMEM; the default 16 MB scoped limit is far too
+# small for this kernel because Mosaic stack-allocates the unrolled T-loop's
+# temporaries WITHOUT reusing them across steps (measured: rb=5 tile -> 21 MB
+# stack).  We raise the per-kernel limit and budget for those temporaries.
+VMEM_LIMIT = 100 * 1024 * 1024
+
+
 def _pick_rb(h: int, w: int, c: int, t: int, itemsize: int,
-             budget_bytes: int = 11 * 1024 * 1024) -> int:
+             budget_bytes: int = int(VMEM_LIMIT * 0.8)) -> int:
     """Largest row-tile rb dividing h whose buffers fit the VMEM budget."""
     halo = t - 1
     for rb in range(h, 0, -1):
@@ -51,15 +58,22 @@ def _pick_rb(h: int, w: int, c: int, t: int, itemsize: int,
         tile = t * rb * w * c * itemsize
         xbufs = 3 * 2 * tile          # three pipelined input streams
         out2 = 2 * tile
-        scr = (2 * rbe * w * c + (rbe + 2) * (w + 2) * c) * itemsize
-        if xbufs + out2 + scr <= budget_bytes:
+        scr = (2 * rbe * w * c + 3 * (rbe + 2) * w * c) * itemsize
+        # Mosaic stack temporaries: ~6 live rbe-row buffers per unrolled step
+        stack = 6 * t * rbe * w * c * itemsize
+        if xbufs + out2 + scr + stack <= budget_bytes:
             return rb
     raise ValueError(f"no row tile fits VMEM for {(t, h, w, c)}")
 
 
 def _kernel(xp_ref, xt_ref, xn_ref, dwk_ref, dwb_ref, pwk_ref, pwb_ref,
-            out_ref, mem, ecs, spk_pad,
-            *, T, W, C, rb, halo, cfg: SNNConfig, act: bool):
+            out_ref, mem, ecs, spkC, spkL, spkR,
+            *, T, W, C, rb, halo, cfg: SNNConfig, act: bool,
+            ablate: str = ""):
+    if ablate == "copyonly":  # DMA floor: stream x in, write it straight out
+        for t in range(T):
+            out_ref[t, 0] = xt_ref[t, 0]
+        return
     r = pl.program_id(1)
     RT = pl.num_programs(1)
     rbe = rb + 2 * halo
@@ -72,7 +86,17 @@ def _kernel(xp_ref, xt_ref, xn_ref, dwk_ref, dwb_ref, pwk_ref, pwb_ref,
 
     mem[...] = jnp.zeros_like(mem)
     ecs[...] = jnp.zeros_like(ecs)
-    spk_pad[...] = jnp.zeros_like(spk_pad)
+    # three column-shifted spike copies (1-row zero padding top/bottom):
+    #   spkC[r+1, x] = spike[r, x]
+    #   spkL[r+1, x] = spike[r, x+1]   (left-shifted; col W-1 stays 0)
+    #   spkR[r+1, x] = spike[r, x-1]   (right-shifted; col 0 stays 0)
+    # The 9 depthwise taps then become ROW-offset-only reads (free address
+    # offsets in the outer dim) — the naive 9 sublane-misaligned slices of a
+    # (W+2)-wide buffer measured +27 ms/site on v5e (Mosaic materializes a
+    # shifted copy per tap); this form pays only 2 shifted copies per step.
+    spkC[...] = jnp.zeros_like(spkC)
+    spkL[...] = jnp.zeros_like(spkL)
+    spkR[...] = jnp.zeros_like(spkR)
 
     dwk = dwk_ref[...]  # [3, 3, C]
     dwb = dwb_ref[...]  # [C]
@@ -92,7 +116,7 @@ def _kernel(xp_ref, xt_ref, xn_ref, dwk_ref, dwb_ref, pwk_ref, pwb_ref,
             ],
             axis=0,
         )
-        spike_prev = spk_pad[1 : 1 + rbe, 1 : 1 + W, :]
+        spike_prev = spkC[1 : 1 + rbe]
         fecs = beta * jnp.tanh(ecs[...])
         m = mem[...] * decay * (1.0 - spike_prev) + xw + fecs
         if act:
@@ -101,42 +125,50 @@ def _kernel(xp_ref, xt_ref, xn_ref, dwk_ref, dwb_ref, pwk_ref, pwb_ref,
             # compare in f32: Mosaic cannot lower cmpf on packed bf16 vectors
             spike = (m.astype(jnp.float32) > cfg.thresh).astype(dtype)
         mem[...] = m
-        spk_pad[1 : 1 + rbe, 1 : 1 + W, :] = spike
+        spkC[1 : 1 + rbe] = spike
+        spkL[1 : 1 + rbe, : W - 1] = spike[:, 1:]
+        spkR[1 : 1 + rbe, 1:] = spike[:, : W - 1]
 
         # true image boundary: out-of-image halo spikes must be zero so the
         # 3x3 spread sees SAME zero-padding
         @pl.when(at_top)
         def _():
-            spk_pad[1 : 1 + halo, :, :] = jnp.zeros_like(
-                spk_pad[1 : 1 + halo, :, :]
-            )
+            for buf in (spkC, spkL, spkR):
+                buf[1 : 1 + halo] = jnp.zeros_like(buf[1 : 1 + halo])
 
         @pl.when(at_bot)
         def _():
-            spk_pad[1 + halo + rb :, :, :] = jnp.zeros_like(
-                spk_pad[1 + halo + rb :, :, :]
-            )
+            for buf in (spkC, spkL, spkR):
+                buf[1 + halo + rb :] = jnp.zeros_like(buf[1 + halo + rb :])
 
-        out_ref[t, 0] = spk_pad[1 + halo : 1 + halo + rb, 1 : 1 + W, :]
+        out_ref[t, 0] = spkC[1 + halo : 1 + halo + rb]
 
-        if t < T - 1:  # the last step's ecs update is unobservable
-            acc = None
-            for dy in range(3):
-                for dx in range(3):
-                    term = (
-                        spk_pad[dy : dy + rbe, dx : dx + W, :] * dwk[dy, dx]
-                    )
-                    acc = term if acc is None else acc + term
-            d = acc + dwb
-            e = jax.lax.dot_general(
-                d.reshape(rbe * W, C), pwk,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(dtype).reshape(rbe, W, C) + pwb
+        if t < T - 1 and ablate != "nospread":
+            # the last step's ecs update is unobservable
+            if ablate == "nodw":
+                d = spike + dwb
+            else:
+                acc = None
+                for dy in range(3):
+                    for buf, dx in ((spkR, 0), (spkC, 1), (spkL, 2)):
+                        term = buf[dy : dy + rbe] * dwk[dy, dx]
+                        acc = term if acc is None else acc + term
+                d = acc + dwb
+            if ablate == "nopw":
+                e = d
+            else:
+                e = jax.lax.dot_general(
+                    d.reshape(rbe * W, C), pwk,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dtype).reshape(rbe, W, C) + pwb
             ecs[...] = alpha * e + leak * ecs[...]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "act", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "act", "interpret", "ablate", "rb_override"),
+)
 def ecs_lif_pallas(
     x: jax.Array,  # [T, N, H, W, C]
     dw_kernel: jax.Array,  # [3, 3, 1, C] (HWIO depthwise)
@@ -146,11 +178,13 @@ def ecs_lif_pallas(
     cfg: SNNConfig,
     act: bool = False,
     interpret: bool = False,
+    ablate: str = "",       # dev-only micro-bench ablations, see _kernel
+    rb_override: int = 0,   # dev-only row-tile override
 ) -> jax.Array:
     """Drop-in fused forward for ``ecs_lif_scan`` (same weights/semantics)."""
     T, N, H, W, C = x.shape
     halo = T - 1
-    rb = _pick_rb(H, W, C, T, x.dtype.itemsize)
+    rb = rb_override or _pick_rb(H, W, C, T, x.dtype.itemsize)
     if rb <= halo:
         raise ValueError(f"row tile {rb} <= halo {halo} for {(T, H, W, C)}")
     RT = H // rb
@@ -163,6 +197,7 @@ def ecs_lif_pallas(
     rbe = rb + 2 * halo
     kernel = functools.partial(
         _kernel, T=T, W=W, C=C, rb=rb, halo=halo, cfg=cfg, act=act,
+        ablate=ablate,
     )
     tile = (T, 1, rb, W, C)
     x_spec = lambda rof: pl.BlockSpec(
@@ -187,9 +222,12 @@ def ecs_lif_pallas(
             tile, lambda n, r: (0, n, r, 0, 0), memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((rbe, W, C), x.dtype),          # mem
-            pltpu.VMEM((rbe, W, C), x.dtype),          # ecs
-            pltpu.VMEM((rbe + 2, W + 2, C), x.dtype),  # zero-padded spikes
+            pltpu.VMEM((rbe, W, C), x.dtype),        # mem
+            pltpu.VMEM((rbe, W, C), x.dtype),        # ecs
+            pltpu.VMEM((rbe + 2, W, C), x.dtype),    # spikes (center)
+            pltpu.VMEM((rbe + 2, W, C), x.dtype),    # spikes shifted left
+            pltpu.VMEM((rbe + 2, W, C), x.dtype),    # spikes shifted right
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(x, x, x, dwk, dwb, pwk, pwb)

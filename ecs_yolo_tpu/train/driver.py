@@ -22,6 +22,7 @@ from ..data.dataset import Dataset
 from ..data.hyps import HYP_SCRATCH
 from ..models.yolo import build_model
 from ..parallel.mesh import make_mesh, batch_sharding, replicated
+from ..parallel import multihost
 from ..utils.checkpoint import save_checkpoint, strip_optimizer
 from ..utils.general import LOGGER, Callbacks, EarlyStopping, increment_path
 from ..utils.loggers import Loggers
@@ -58,6 +59,9 @@ def train(
     events: bool = False,
     autoanchor: bool = True,
     loggers_include=("csv", "tb"),
+    workers: int = 4,
+    bf16: bool = False,
+    remat_neuron: bool = False,
 ):
     """Returns (state, best_fitness, results_history).
 
@@ -121,6 +125,10 @@ def train(
                 ]
                 LOGGER.info(f"autoanchor: new anchors {anchors_override}")
 
+    if remat_neuron:
+        from ..config import DEFAULT_SNN
+
+        snn_cfg = (snn_cfg or DEFAULT_SNN).replace(remat_neuron=True)
     model = build_model(cfg, nc=nc, remat=remat, anchors=anchors_override,
                         snn=snn_cfg)
     key = jax.random.PRNGKey(seed)
@@ -141,15 +149,27 @@ def train(
     )
     state = create_train_state(variables, tx)
 
-    # use the largest device count that divides the batch (data-parallel)
+    # use the largest device count that divides the batch (data-parallel).
+    # Under jax.distributed (multi-host), jax.devices() spans every host and
+    # the same 1-D mesh is the DDP equivalent over ICI/DCN; each host feeds
+    # its slice of the global batch (parallel/multihost.py).
     devs = jax.devices()
+    world = jax.process_count()
     n_dev = max(d for d in range(1, len(devs) + 1) if batch_size % d == 0)
+    if world > 1 and n_dev != len(devs):
+        raise ValueError(
+            f"multi-host training needs batch {batch_size} divisible by "
+            f"all {len(devs)} devices"
+        )
     mesh = make_mesh(devs[:n_dev])
     data_s = batch_sharding(mesh)
     rep = replicated(mesh)
+    main = multihost.is_main()
+    host_shard = (jax.process_index(), world) if world > 1 else None
     state = jax.device_put(state, rep)
     step_fn = make_train_step(
         model, tx, hyp, ema_decay=ema_decay,
+        compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
         sr=sr, sr_total_steps=epochs * steps_per_epoch,
         accumulate=accumulate,
     )
@@ -243,12 +263,13 @@ def train(
         mloss = np.zeros(3)
         nb = 0
         for ims, labels, masks in train_ds.batches(
-            batch_size, shuffle=True, seed=seed + epoch
+            batch_size, shuffle=True, seed=seed + epoch,
+            workers=workers, host_shard=host_shard,
         ):
             batch = (
-                jax.device_put(jnp.asarray(ims), data_s),
-                jax.device_put(jnp.asarray(labels), data_s),
-                jax.device_put(jnp.asarray(masks), data_s),
+                multihost.to_global(data_s, np.asarray(ims)),
+                multihost.to_global(data_s, np.asarray(labels)),
+                multihost.to_global(data_s, np.asarray(masks)),
             )
             state, metrics = step_fn(state, *batch)
             items = np.asarray(metrics["items"])[:3]
@@ -257,7 +278,10 @@ def train(
             callbacks.run("on_train_batch_end")
 
         results = dict(mp=0.0, mr=0.0, map50=0.0, map=0.0, fitness=0.0)
-        if val_ds is not None and (epoch + 1) % val_every == 0:
+        # rank-0-only val, like the reference (train.py:630-641); the
+        # fitness is then broadcast so every host early-stops together
+        # (reference v2 broadcast, train2.py:391-394)
+        if main and val_ds is not None and (epoch + 1) % val_every == 0:
             eval_vars = {
                 "params": state.ema_params,
                 "batch_stats": state.batch_stats,
@@ -266,7 +290,7 @@ def train(
                 model, eval_vars, None, imgsz=imgsz,
                 batch_size=batch_size, dataset=val_ds,
             )
-        fit = results["fitness"]
+        fit = multihost.broadcast_scalar(results["fitness"])
         history.append(results)
         callbacks.run("on_fit_epoch_end")
 
@@ -275,36 +299,40 @@ def train(
         # accumulate losses (metrics-only), logged as 0 like reference
         # standalone val.
         applies = int(state.step) // max(accumulate, 1)
-        loggers.log_metrics(
-            {
-                "train/box_loss": float(mloss[0]),
-                "train/obj_loss": float(mloss[1]),
-                "train/cls_loss": float(mloss[2]),
-                "metrics/precision": results["mp"],
-                "metrics/recall": results["mr"],
-                "metrics/mAP_0.5": results["map50"],
-                "metrics/mAP_0.5:0.95": results["map"],
-                "val/box_loss": 0.0,
-                "val/obj_loss": 0.0,
-                "val/cls_loss": 0.0,
-                "x/lr0": float(lr_fn_w(applies)),
-                "x/lr1": float(lr_fn_w(applies)),
-                "x/lr2": float(lr_fn_b(applies)),
-                "fitness": fit,
-            },
-            step=epoch,
-        )
+        if main:
+            loggers.log_metrics(
+                {
+                    "train/box_loss": float(mloss[0]),
+                    "train/obj_loss": float(mloss[1]),
+                    "train/cls_loss": float(mloss[2]),
+                    "metrics/precision": results["mp"],
+                    "metrics/recall": results["mr"],
+                    "metrics/mAP_0.5": results["map50"],
+                    "metrics/mAP_0.5:0.95": results["map"],
+                    "val/box_loss": 0.0,
+                    "val/obj_loss": 0.0,
+                    "val/cls_loss": 0.0,
+                    "x/lr0": float(lr_fn_w(applies)),
+                    "x/lr1": float(lr_fn_w(applies)),
+                    "x/lr2": float(lr_fn_b(applies)),
+                    "fitness": fit,
+                },
+                step=epoch,
+            )
 
         if fit >= best_fitness:
             best_fitness = fit
-            save_checkpoint(
-                w / "best", state, model.cfg, epoch, best_fitness
-            )
-        save_checkpoint(w / "last", state, model.cfg, epoch, best_fitness)
-        if save_period > 0 and epoch % save_period == 0:
-            save_checkpoint(
-                w / f"epoch{epoch}", state, model.cfg, epoch, best_fitness
-            )
+            if main:
+                save_checkpoint(
+                    w / "best", state, model.cfg, epoch, best_fitness
+                )
+        if main:
+            # rank-0-only checkpointing, like the reference (train.py:657)
+            save_checkpoint(w / "last", state, model.cfg, epoch, best_fitness)
+            if save_period > 0 and epoch % save_period == 0:
+                save_checkpoint(
+                    w / f"epoch{epoch}", state, model.cfg, epoch, best_fitness
+                )
         callbacks.run("on_model_save")
         LOGGER.info(
             f"epoch {epoch}: loss={mloss.round(4).tolist()} "

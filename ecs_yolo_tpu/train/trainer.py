@@ -132,12 +132,33 @@ def make_train_step(
 
     def step_fn(state: TrainState, images, targets, t_mask):
         def losses(params):
+            # bf16 compute: fp32 master params cast at the apply boundary
+            # (grads accumulate back into fp32 — the TPU equivalent of the
+            # reference's CUDA AMP autocast, train.py:553; no loss scaling
+            # needed with bf16's fp32-range exponent).  BN statistics stay
+            # fp32 inside TBatchNorm.
+            if compute_dtype != jnp.float32:
+                apply_params = jax.tree_util.tree_map(
+                    lambda v: v.astype(compute_dtype)
+                    if v.dtype == jnp.float32 else v,
+                    params,
+                )
+            else:
+                apply_params = params
             out, upd = model.module.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": apply_params, "batch_stats": state.batch_stats},
                 images.astype(compute_dtype),
                 training=True,
                 mutable=["batch_stats"],
             )
+            if compute_dtype != jnp.float32:
+                # head outputs to fp32 before loss/assignment numerics
+                out = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float32)
+                    if hasattr(a, "dtype") and a.dtype == compute_dtype
+                    else a,
+                    out,
+                )
             total, items = loss_fn(out, targets, t_mask)
             return total.astype(jnp.float32), (items, upd["batch_stats"])
 

@@ -2,9 +2,13 @@
 
 Equivalent of reference val.py:134-513 ``run()``: conf 0.001 / IoU 0.6 /
 multi-label NMS, TP matrix over 10 IoU thresholds, ap_per_class summary and
-the speed breakdown (pre-process / inference / NMS ms per image).  Metrics
-are computed in letterbox space (predictions and labels share the canvas, so
-AP is identical to native-space evaluation).
+the speed breakdown (pre-process / inference / NMS ms per image).
+Predictions AND labels are mapped back to native resolution before the TP
+matrix (reference val.py:309 ``scale_coords``), and the ``--save-json`` path
+emits COCO-format records keyed by the real image ids (numeric filename
+stems — reference ``save_one_json``, val.py:56-78) with native-space boxes,
+evaluated through pycocotools when present or the pure-numpy
+``ops.cocoeval`` fallback otherwise.
 """
 
 from __future__ import annotations
@@ -36,9 +40,12 @@ def run(
     verbose: bool = False,
     dataset: Optional[Dataset] = None,
     save_json: Optional[str] = None,
+    anno_json: Optional[str] = None,
     coco91: bool = False,
+    workers: int = 4,
 ) -> Dict:
-    """Returns {mp, mr, map50, map, fitness, speed, per_class}."""
+    """Returns {mp, mr, map50, map, fitness, speed, per_class}; with
+    ``save_json`` + ``anno_json`` also a ``coco`` sub-dict from COCOeval."""
     ds = dataset or Dataset(
         data_path, img_size=imgsz, augment=False, max_labels=max_labels
     )
@@ -56,11 +63,24 @@ def run(
     dt = [0.0, 0.0, 0.0]
     seen = 0
     json_dets = []
-    img_id = 0
 
-    for ims, labels, masks, n_real in ds.batches(
-        batch_size, drop_last=False, yield_count=True
-    ):
+    # EventDataset has no per-image letterbox meta (samples are fixed-size
+    # voxel grids) — evaluate in canvas space with sequential ids there.
+    has_meta = hasattr(ds, "meta")
+    if has_meta:
+        batch_iter = ds.batches(
+            batch_size, drop_last=False, yield_idx=True, workers=workers
+        )
+    else:
+        batch_iter = (
+            (ims, lbs, ms, n, list(range(k * batch_size,
+                                         k * batch_size + n)))
+            for k, (ims, lbs, ms, n) in enumerate(
+                ds.batches(batch_size, drop_last=False, yield_count=True)
+            )
+        )
+
+    for ims, labels, masks, n_real, idxs in batch_iter:
         t0 = time.perf_counter()
         x = jnp.asarray(ims)
         t1 = time.perf_counter()
@@ -82,26 +102,43 @@ def run(
         dt[1] += t2 - t1
         dt[2] += t3 - t2
 
-        h, w = ims.shape[1:3]
         # only the first n_real rows are real images; the zero-padded tail
         # must not contribute detections (false positives) to the metrics
         for si in range(n_real):
-            img_id += 1
+            if has_meta:
+                meta = ds.meta(idxs[si])
+            else:  # canvas == native (fixed-size event voxel grids)
+                chw = ims.shape[-3:-1]
+                meta = dict(id=idxs[si] + 1, native_hw=chw, canvas_hw=chw,
+                            ratio_pad=((1.0, 1.0), (0.0, 0.0)))
+            h0, w0 = meta["native_hw"]
+            (gy, gx), (pad_w, pad_h) = meta["ratio_pad"]
             lm = masks[si]
             nl = int(lm.sum())
             if not nl and not valid[si].any():
                 continue
             seen += 1
+            # ground truth at NATIVE resolution, straight from the label txts
+            # (normalized to the native image) — no letterbox round-trip
             gt = labels[si][lm]
-            gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(gt[:, 1:5]))) * [w, h, w, h]
+            gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(gt[:, 1:5])))
+            h, w = meta["canvas_hw"]
+            # labels in the batch are canvas-normalized; invert the letterbox
+            gt_xyxy = gt_xyxy * [w, h, w, h]
+            gt_xyxy[:, [0, 2]] = ((gt_xyxy[:, [0, 2]] - pad_w) / gx).clip(0, w0)
+            gt_xyxy[:, [1, 3]] = ((gt_xyxy[:, [1, 3]] - pad_h) / gy).clip(0, h0)
             gt5 = np.concatenate([gt[:, 0:1], gt_xyxy], axis=1)
-            dets = out[si][valid[si]]
+            # predictions: letterbox canvas -> native (reference val.py:309)
+            dets = out[si][valid[si]].copy()
+            dets[:, [0, 2]] = ((dets[:, [0, 2]] - pad_w) / gx).clip(0, w0)
+            dets[:, [1, 3]] = ((dets[:, [1, 3]] - pad_h) / gy).clip(0, h0)
             correct = process_batch(dets, gt5, iouv)
             stats.append(
                 (correct, dets[:, 4], dets[:, 5], gt[:, 0])
             )
             if save_json is not None:
-                # COCO-format records (reference save_one_json, val.py:56-78)
+                # COCO-format records (reference save_one_json, val.py:56-78):
+                # real image ids, native-space corner-xywh boxes
                 from .ops.metrics import coco80_to_coco91_class
 
                 cmap = coco80_to_coco91_class() if coco91 else None
@@ -109,7 +146,7 @@ def run(
                     cid = cmap[int(cls)] if cmap else int(cls)
                     json_dets.append(
                         dict(
-                            image_id=img_id,
+                            image_id=meta["id"],
                             category_id=cid,
                             bbox=[round(float(v), 3) for v in
                                   (x1, y1, x2 - x1, y2 - y1)],
@@ -117,6 +154,7 @@ def run(
                         )
                     )
 
+    coco_res = None
     if save_json is not None:
         import json as json_mod
         from pathlib import Path as _P
@@ -124,10 +162,11 @@ def run(
         _P(save_json).parent.mkdir(parents=True, exist_ok=True)
         with open(save_json, "w") as fh:
             json_mod.dump(json_dets, fh)
-        try:  # pycocotools COCOeval when available (absent in this image)
-            import pycocotools  # noqa: F401
-        except ImportError:
-            pass
+        if anno_json is not None:
+            # pycocotools when available, ops.cocoeval numpy fallback else
+            from .ops.cocoeval import evaluate_json
+
+            coco_res = evaluate_json(anno_json, save_json)
 
     if not stats:
         return dict(mp=0, mr=0, map50=0, map=0, fitness=0, speed=(0, 0, 0))
@@ -158,6 +197,8 @@ def run(
         per_class={int(c): (float(pp), float(rr), float(a5), float(aa))
                    for c, pp, rr, a5, aa in zip(cls_ids, p, r, ap50, ap_all)},
     )
+    if coco_res is not None:
+        result["coco"] = coco_res
     if verbose:
         print(
             f"P={mp:.3f} R={mr:.3f} mAP50={map50:.3f} mAP={map_:.3f} "

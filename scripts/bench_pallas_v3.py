@@ -49,24 +49,82 @@ def pallas_fn(x):
     return ecs_lif_pallas(x, dwk, dwb, pwk, pwb, cfg, act=False)
 
 
-def bench(fn, iters=10, warmup=2):
-    for _ in range(warmup):
-        fn(x).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / iters * 1000
+def bench(fn, iters=8):
+    """In-graph timing: chain `iters` dependent executions inside ONE jit
+    call and force completion with a scalar transfer.  Host-side per-call
+    timing through the axon tunnel is unreliable (block_until_ready returns
+    on enqueue-ack; identical remote calls get memoized)."""
+
+    def chained(x, n):
+        def body(i, x):
+            y = fn(x)
+            return y * jnp.bfloat16(0.5) + x * jnp.bfloat16(0.25)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.float32))
+
+    run1 = jax.jit(chained, static_argnums=1)
+    # warm both trip counts' compiles, then time
+    float(run1(x, 1)); float(run1(x, 1 + iters))
+    t0 = time.perf_counter(); float(run1(x, 1)); t_1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(run1(x, 1 + iters)); t_n = time.perf_counter() - t0
+    return (t_n - t_1) / iters * 1000
 
 
 def main():
-    ya = np.asarray(xla_fn(x), np.float32)
-    yp = np.asarray(pallas_fn(x), np.float32)
-    print(f"spike mismatch: {(ya != yp).mean():.6f}")
-    ta = bench(xla_fn)
-    tp = bench(pallas_fn)
-    print(f"XLA scan:      {ta:.2f} ms")
-    print(f"Pallas v3:     {tp:.2f} ms   ({ta / tp:.2f}x)")
+    import sys
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "compare"
+    if mode == "compare":
+        ya = np.asarray(xla_fn(x), np.float32)
+        yp = np.asarray(pallas_fn(x), np.float32)
+        print(f"spike mismatch: {(ya != yp).mean():.6f}")
+        ta = bench(xla_fn)
+        tp = bench(pallas_fn)
+        print(f"XLA scan:      {ta:.2f} ms")
+        print(f"Pallas v3:     {tp:.2f} ms   ({ta / tp:.2f}x)")
+    elif mode == "ablate":
+        for ab in ("copyonly", "nospread", "nopw", "nodw", ""):
+            fn = lambda x, ab=ab: ecs_lif_pallas(
+                x, dwk, dwb, pwk, pwb, cfg, act=False, ablate=ab)
+            t = bench(fn)
+            print(f"ablate={ab or 'full':<10s}: {t:7.2f} ms", flush=True)
+    elif mode == "parts":
+        # decompose the XLA-scan cost structure with trustworthy timing
+        from ecs_yolo_tpu.snn.neuron import lif_scan
+
+        def elementwise(x):
+            return x * jnp.bfloat16(0.7) + jnp.bfloat16(0.1)
+
+        def spread4(x):  # 4 independent dw+pw conv pairs (no recurrence)
+            return jnp.stack([spread(x[t]) for t in range(T)])
+
+        def dw4(x):
+            return jnp.stack([
+                jax.lax.conv_general_dilated(
+                    x[t], dwk, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=C) + dwb
+                for t in range(T)
+            ])
+
+        def lif(x):
+            return lif_scan(x, cfg, act=False)
+
+        for name, fn in [("elementwise", elementwise), ("dw4", dw4),
+                         ("spread4", spread4), ("plain-lif", lif),
+                         ("ecs-scan", lambda x: ecs_lif_scan(
+                             x, spread, cfg, act=False))]:
+            t = bench(fn)
+            print(f"{name:<12s}: {t:7.2f} ms", flush=True)
+    elif mode == "rb":
+        for rb in (8, 10, 16, 20, 32, 40):
+            try:
+                fn = lambda x, rb=rb: ecs_lif_pallas(
+                    x, dwk, dwb, pwk, pwb, cfg, act=False, rb_override=rb)
+                t = bench(fn)
+                print(f"rb={rb:<3d}: {t:7.2f} ms", flush=True)
+            except Exception as e:
+                print(f"rb={rb:<3d}: FAIL {str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":

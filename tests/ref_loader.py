@@ -40,8 +40,28 @@ def _greedy_nms_torch(boxes, scores, iou_threshold):
     return torch.tensor(keep, dtype=torch.long)
 
 
+def _ensure_font():
+    """reference utils/plots.py:61 check_font downloads Arial.ttf at import
+    time; zero-egress here, so pre-seed it with a local TTF."""
+    font = Path.home() / ".config" / "Ultralytics" / "Arial.ttf"
+    if font.exists():
+        return
+    try:
+        import matplotlib
+
+        src = (Path(matplotlib.__file__).parent / "mpl-data" / "fonts"
+               / "ttf" / "DejaVuSans.ttf")
+        if src.exists():
+            font.parent.mkdir(parents=True, exist_ok=True)
+            font.write_bytes(src.read_bytes())
+    except ImportError:
+        pass
+
+
 def _install_stubs():
     import torch
+
+    _ensure_font()
 
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")

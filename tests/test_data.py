@@ -144,3 +144,66 @@ class TestDataset:
         labels = np.array([[0, 0.25, 0.5, 0.1, 0.1]], np.float32)
         _, out = flip_lr(im, labels)
         assert out[0, 1] == pytest.approx(0.75)
+
+
+class TestAsyncBatches:
+    """Thread-pool prefetch loader (reference InfiniteDataLoader,
+    utils/datasets.py:122-156): async output must equal the sync path."""
+
+    def test_worker_parity(self, mini_dataset):
+        ds = Dataset(str(mini_dataset / "images"), img_size=160, augment=False)
+        sync = list(ds.batches(2, drop_last=False, yield_idx=True))
+        asyn = list(ds.batches(2, drop_last=False, yield_idx=True, workers=3))
+        assert len(sync) == len(asyn)
+        for (si, sl, sm, sn, sidx), (ai, al, am, an, aidx) in zip(sync, asyn):
+            np.testing.assert_array_equal(si, ai)
+            np.testing.assert_array_equal(sl, al)
+            np.testing.assert_array_equal(sm, am)
+            assert sn == an and sidx == aidx
+
+    def test_early_close_stops_producer(self, mini_dataset):
+        import threading
+
+        ds = Dataset(str(mini_dataset / "images"), img_size=160, augment=False)
+        before = threading.active_count()
+        gen = ds.batches(1, drop_last=False, workers=2, prefetch=1)
+        next(gen)
+        gen.close()
+        # the producer thread must wind down (stop event honored)
+        import time
+
+        for _ in range(50):
+            if threading.active_count() <= before + 1:
+                break
+            time.sleep(0.1)
+        assert threading.active_count() <= before + 1
+
+
+def test_albumentations_hook_identity():
+    """The hook degrades to identity when the package is absent
+    (reference utils/augmentations.py:16 gated import)."""
+    from ecs_yolo_tpu.data.augment import Albumentations
+
+    alb = Albumentations()
+    im = np.full((8, 8, 3), 7, np.uint8)
+    lb = np.array([[0, 0.5, 0.5, 0.2, 0.2]], np.float32)
+    out_im, out_lb = alb(im, lb)
+    np.testing.assert_array_equal(out_im, im)
+    np.testing.assert_array_equal(out_lb, lb)
+
+
+def test_load_screenshots_parse_and_gate():
+    """Source parsing works; construction raises the install hint without
+    mss (reference utils/dataloaders.py:188)."""
+    import pytest as _pytest
+
+    from ecs_yolo_tpu.data.loaders import LoadScreenshots
+
+    assert LoadScreenshots.parse_source("screen 0 8 16 64 32") == (0, 8, 16, 64, 32)
+    assert LoadScreenshots.parse_source("screen 2") == (2, None, None, None, None)
+    assert LoadScreenshots.parse_source("screen 5 10 100 200") == (0, 5, 10, 100, 200)
+    try:
+        import mss  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError, match="mss"):
+            LoadScreenshots("screen 0")

@@ -109,3 +109,37 @@ def test_ecs_fused_v2_matches_scan():
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+class TestEcsV3:
+    """Fused per-tile T-loop kernel (snn/pallas_ecs_v3.py) — interpret-mode
+    exact parity with the XLA scan, including row-tile halo boundaries."""
+
+    @pytest.mark.parametrize("shape", [(4, 2, 16, 24, 8), (5, 1, 32, 16, 8)])
+    def test_matches_scan(self, shape):
+        from ecs_yolo_tpu.snn.pallas_ecs_v3 import ecs_lif_pallas
+
+        T, N, H, W, C = shape
+        cfg = SNNConfig(time_window=T)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(*shape) * 2 - 0.5, jnp.float32)
+        dwk = jnp.asarray((rng.rand(3, 3, 1, C) - 0.5) * 0.4, jnp.float32)
+        dwb = jnp.asarray((rng.rand(C) - 0.5) * 0.2, jnp.float32)
+        pwk = jnp.asarray((rng.rand(1, 1, C, C) - 0.5) * 0.2, jnp.float32)
+        pwb = jnp.asarray((rng.rand(C) - 0.5) * 0.2, jnp.float32)
+
+        def spread(s):
+            d = jax.lax.conv_general_dilated(
+                s, dwk, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C,
+            ) + dwb
+            return jax.lax.conv_general_dilated(
+                d, pwk, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + pwb
+
+        ya = np.asarray(ecs_lif_scan(x, spread, cfg, act=False))
+        yp = np.asarray(ecs_lif_pallas(x, dwk, dwb, pwk, pwb, cfg,
+                                       act=False, interpret=True))
+        np.testing.assert_array_equal(ya, yp)

@@ -82,3 +82,50 @@ def test_remat_train_step():
     mask[:, 0] = True
     new_state, metrics = step(state, ims, jnp.asarray(targets), jnp.asarray(mask))
     assert np.isfinite(float(metrics["loss"]))
+
+
+class TestBf16AndNeuronRemat:
+    """VERDICT r1 item 7: bf16 compute (AMP equivalent, reference
+    train.py:461,553,567) and neuron-site-only rematerialization."""
+
+    def _step(self, compute_dtype=jnp.float32, remat_neuron=False):
+        snn = SNN.replace(remat_neuron=remat_neuron)
+        model = build_model("resnet10.yaml", snn=snn)
+        variables = model.init(jax.random.PRNGKey(0), imgsz=64)
+        tx = build_optimizer(variables["params"], epochs=2, steps_per_epoch=2)
+        state = create_train_state(variables, tx)
+        step = make_train_step(model, tx, HYP, compute_dtype=compute_dtype)
+        rng = np.random.RandomState(0)
+        ims = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+        targets = np.zeros((2, 4, 5), np.float32)
+        targets[:, 0] = [1, 0.5, 0.5, 0.3, 0.3]
+        mask = np.zeros((2, 4), bool)
+        mask[:, 0] = True
+        new_state, metrics = step(
+            state, ims, jnp.asarray(targets), jnp.asarray(mask)
+        )
+        return new_state, metrics
+
+    def test_bf16_step_close_to_fp32(self):
+        s32, m32 = self._step(jnp.float32)
+        s16, m16 = self._step(jnp.bfloat16)
+        l32, l16 = float(m32["loss"]), float(m16["loss"])
+        assert np.isfinite(l16)
+        assert l16 == pytest.approx(l32, rel=0.05)
+        # master params stay fp32
+        dts = {a.dtype for a in jax.tree_util.tree_leaves(s16.params)}
+        assert dts == {np.dtype("float32")}
+        # BN running stats stay fp32
+        dts = {a.dtype for a in jax.tree_util.tree_leaves(s16.batch_stats)}
+        assert dts == {np.dtype("float32")}
+
+    def test_remat_neuron_identical(self):
+        s_a, m_a = self._step(remat_neuron=False)
+        s_b, m_b = self._step(remat_neuron=True)
+        # rematerialization must not change the math
+        assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]),
+                                                   rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s_a.params),
+                        jax.tree_util.tree_leaves(s_b.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)

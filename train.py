@@ -36,6 +36,14 @@ def parse_opt():
     p.add_argument("--single-cls", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (fit bigger models/batches)")
+    p.add_argument("--remat-neuron", action="store_true",
+                   help="rematerialize ONLY the neuron recurrences (cheaper "
+                        "than --remat; usually enough to fit 640px T=4)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute with fp32 master params/BN stats "
+                        "(the reference's AMP equivalent on TPU)")
+    p.add_argument("--workers", type=int, default=4,
+                   help="async host-loader threads (0 = synchronous)")
     p.add_argument("--device", default="",
                    help="jax platform, e.g. cpu or tpu (reference --device)")
     p.add_argument("--evolve", type=int, nargs="?", const=300, default=0,
@@ -83,6 +91,9 @@ def main(opt):
         seed=opt.seed,
         save_period=opt.save_period,
         remat=opt.remat,
+        remat_neuron=opt.remat_neuron,
+        bf16=opt.bf16,
+        workers=opt.workers,
         events=opt.events,
         autoanchor=not opt.noautoanchor,
     )

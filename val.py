@@ -25,6 +25,13 @@ def parse_opt():
     p.add_argument("--iou-thres", type=float, default=0.6)
     p.add_argument("--max-det", type=int, default=300)
     p.add_argument("--task", default="val", choices=["val", "test", "speed"])
+    p.add_argument("--save-json", default=None,
+                   help="write COCO-format detections to this json path")
+    p.add_argument("--anno-json", default=None,
+                   help="COCO GT annotations json; with --save-json runs "
+                        "COCOeval (pycocotools or the numpy fallback)")
+    p.add_argument("--coco91", action="store_true",
+                   help="map 80-class ids to COCO-91 ids in the json")
     p.add_argument("--use-ema", action="store_true", default=True)
     p.add_argument("--device", default="",
                    help="jax platform, e.g. cpu or tpu (reference --device)")
@@ -54,6 +61,7 @@ def main(opt):
         imgsz=opt.imgsz, batch_size=opt.batch_size,
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
         max_det=opt.max_det, verbose=True,
+        save_json=opt.save_json, anno_json=opt.anno_json, coco91=opt.coco91,
     )
     pre, inf, nms = results["speed"]
     LOGGER.info(
