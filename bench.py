@@ -14,14 +14,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 REF_GPU_IMGS_PER_SEC = 30.0  # documented estimate, see module docstring
 
-BATCH = 8
-IMGSZ = 640
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
+IMGSZ = int(os.environ.get("BENCH_IMGSZ", 640))
 WARMUP = 3
 ITERS = 10
 
@@ -45,23 +46,38 @@ def main():
     variables = {"params": cast(variables["params"]),
                  "batch_stats": variables.get("batch_stats", {})}
 
-    @jax.jit
-    def forward(images):
-        z, _ = model.module.apply(variables, images, training=False)
-        return z
+    # In-graph timing: chain ITERS data-dependent forwards inside ONE jit
+    # call and difference two trip counts.  Host-side per-call timing
+    # through the axon tunnel is unreliable — repeated identical remote
+    # executions get memoized and block_until_ready returns on enqueue-ack
+    # (docs/DESIGN.md round-2 findings).
+    def chained(x, n):
+        def body(i, x):
+            z, _ = model.module.apply(variables, x, training=False)
+            # tiny data-dependent perturbation: defeats loop-invariant
+            # hoisting and cross-call memoization without changing the work
+            return x + jnp.tanh(
+                jnp.mean(z.astype(jnp.float32))
+            ).astype(x.dtype) * jnp.bfloat16(1e-3)
 
+        return jnp.mean(jax.lax.fori_loop(0, n, body, x).astype(jnp.float32))
+
+    run = jax.jit(chained, static_argnums=1)
     x = jnp.asarray(
         np.random.RandomState(0).rand(BATCH, IMGSZ, IMGSZ, 3), jnp.bfloat16
     )
 
     for _ in range(WARMUP):
-        forward(x).block_until_ready()
+        float(run(x, 1))
+        float(run(x, 1 + ITERS))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = forward(x)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    float(run(x, 1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(x, 1 + ITERS))
+    tn = time.perf_counter() - t0
+    dt = tn - t1
 
     imgs_per_sec = BATCH * ITERS / dt
     print(

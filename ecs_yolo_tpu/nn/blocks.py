@@ -146,9 +146,13 @@ class MemUpdate(nn.Module):
             "spread_pw_kernel", torch_conv_kernel_init, (1, 1, c, c)
         )
         pw_bias = self.param("spread_pw_bias", make_bias_init(pw_fan_in), (c,))
-        # NOTE: a shift-add depthwise measured 25% faster in an ISOLATED
-        # stem-layer micro-benchmark but 20% slower in full-model context
-        # (it breaks XLA's cross-layer fusion) — the conv kernels stay.
+        # Spread stays depthwise-3x3 -> pointwise-1x1 (reference
+        # models/common.py:285-303).  Alternatives measured and rejected on
+        # v5e (docs/DESIGN.md round-2): rank-1 composite 3x3 full conv
+        # (identical 13-14 ms at the C=64 stem — the cost is the
+        # half-lane-padded conv itself, not the depthwise lowering — and
+        # 9x FLOPs at C>=256 sites), shift-add depthwise (breaks fusion),
+        # 9-tap Pallas (Mosaic slice copies).
         def _scan(x, dwk, dwbias, pwk, pwbias):
             dtype = x.dtype
 

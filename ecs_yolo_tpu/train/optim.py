@@ -150,6 +150,10 @@ def build_optimizer(
         },
         labels,
     )
+    # skip non-finite updates instead of poisoning the params — the
+    # reference's AMP GradScaler does exactly this (inf/NaN grad steps are
+    # dropped, train.py:571-576); one bad batch must not end the run
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     if accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     return tx

@@ -116,6 +116,83 @@ def main():
                              x, spread, cfg, act=False))]:
             t = bench(fn)
             print(f"{name:<12s}: {t:7.2f} ms", flush=True)
+    elif mode == "composite":
+        # rank-1 composite 3x3 conv (MXU) vs depthwise+pointwise (VPU-bound)
+        comp = (dwk.reshape(3, 3, C, 1) * pwk.reshape(1, 1, C, C)).astype(DT)
+        cbias = (dwb.reshape(1, C) @ pwk.reshape(C, C) + pwb).reshape(C)
+
+        def cspread(s):
+            return jax.lax.conv_general_dilated(
+                s, comp, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + cbias
+
+        def cspread4(x):
+            return jnp.stack([cspread(x[t]) for t in range(T)])
+
+        def ecs_comp(x):
+            return ecs_lif_scan(x, cspread, cfg, act=False)
+
+        # numerical sanity vs the two-conv spread
+        a = np.asarray(spread(x[0]), np.float32)
+        b = np.asarray(cspread(x[0]), np.float32)
+        print(f"composite max|diff| {np.abs(a - b).max():.3e}")
+        for name, fn in [("cspread4", cspread4), ("ecs-composite", ecs_comp)]:
+            t = bench(fn)
+            print(f"{name:<13s}: {t:7.2f} ms", flush=True)
+    elif mode == "shift":
+        # depthwise 3x3 as 9 fused shift-multiply-adds (pure elementwise,
+        # XLA-fusable) vs the conv lowering — re-test with in-graph timing
+        # (round-1 rejected it on host-timed full-model numbers)
+        dwk9 = dwk.reshape(3, 3, C)
+
+        def dw_shift(s):
+            p = jnp.pad(s, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            H_ = s.shape[1]
+            W_ = s.shape[2]
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    term = p[:, dy:dy + H_, dx:dx + W_, :] * dwk9[dy, dx]
+                    acc = term if acc is None else acc + term
+            return acc + dwb
+
+        def spread_shift(s):
+            return jax.lax.conv_general_dilated(
+                dw_shift(s), pwk, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + pwb
+
+        a = np.asarray(spread(x[0]), np.float32)
+        b = np.asarray(spread_shift(x[0]), np.float32)
+        print(f"shift max|diff| {np.abs(a - b).max():.3e}")
+
+        def dw4s(x):
+            return jnp.stack([dw_shift(x[t]) for t in range(T)])
+
+        def ecs_shift(x):
+            return ecs_lif_scan(x, spread_shift, cfg, act=False)
+
+        for name, fn in [("dw4-shift", dw4s), ("ecs-shift", ecs_shift)]:
+            t = bench(fn)
+            print(f"{name:<10s}: {t:7.2f} ms", flush=True)
+    elif mode == "bw":
+        # platform HBM roof probes: XLA copy / scaled copy at 840 MB
+        def xla_copy(x):
+            return x * jnp.bfloat16(1.0000305)  # non-identity, 1R+1W
+
+        def xla_sum(x):
+            # read-only reduce: 1R
+            return jnp.zeros_like(x) + jnp.sum(
+                x.astype(jnp.float32)
+            ).astype(x.dtype)
+
+        gb = x.size * x.dtype.itemsize / 1e9
+        for name, fn, passes in [("copy(R+W)", xla_copy, 2),
+                                 ("sum(R)", xla_sum, 1 + 1)]:
+            t = bench(fn)
+            print(f"{name:<10s}: {t:7.2f} ms  -> {gb * passes / (t / 1e3):.0f} GB/s",
+                  flush=True)
     elif mode == "rb":
         for rb in (8, 10, 16, 20, 32, 40):
             try:

@@ -45,12 +45,12 @@ def make_data(root: Path, n_train=96, n_val=24, size=96, seed=0):
     return root
 
 
-def main(epochs=40, imgsz=96):
+def main(epochs=40, imgsz=64, opt="SGD", lr0=0.005):
     import tempfile
 
     from ecs_yolo_tpu.train.driver import train
 
-    root = make_data(Path(tempfile.mkdtemp(prefix="synth_acc_")))
+    root = make_data(Path(tempfile.mkdtemp(prefix="synth_acc_")), size=imgsz)
     t0 = time.time()
     state, best_fit, history = train(
         cfg="resnet10.yaml",
@@ -60,18 +60,23 @@ def main(epochs=40, imgsz=96):
         epochs=epochs,
         batch_size=8,
         imgsz=imgsz,
+        optimizer=opt,
         max_labels=8,
         patience=epochs,
-        val_every=5,
+        val_every=2,
         save_dir=str(root / "exp"),
         hyp=dict(mosaic=0.0, mixup=0.0, fliplr=0.5, translate=0.1,
-                 scale=0.3, warmup_epochs=2.0, lr0=0.01),
+                 scale=0.3, warmup_epochs=3.0, lr0=lr0),
         autoanchor=True,
     )
     best50 = max(h.get("map50", 0.0) for h in history)
     print(f"best fitness={best_fit:.4f} best mAP50={best50:.4f} "
-          f"({time.time() - t0:.0f}s, {epochs} epochs)")
+          f"({time.time() - t0:.0f}s, {epochs} epochs, {opt} lr0={lr0})")
 
 
 if __name__ == "__main__":
-    main(epochs=int(sys.argv[1]) if len(sys.argv) > 1 else 40)
+    main(
+        epochs=int(sys.argv[1]) if len(sys.argv) > 1 else 40,
+        opt=sys.argv[2] if len(sys.argv) > 2 else "SGD",
+        lr0=float(sys.argv[3]) if len(sys.argv) > 3 else 0.005,
+    )

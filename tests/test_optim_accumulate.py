@@ -103,3 +103,38 @@ def test_ema_updates_only_on_apply_boundary():
             expect = leaf(ema0) * d + (1 - d) * leaf(p)
             np.testing.assert_allclose(leaf(ema_now), expect,
                                        rtol=1e-5, atol=1e-7)
+
+
+def test_nonfinite_grads_skipped():
+    """One NaN-grad step must not poison the params (the reference's AMP
+    GradScaler drops inf/NaN steps, train.py:571-576)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ecs_yolo_tpu.train.optim import build_optimizer
+
+    params = {"conv": {"kernel": jnp.ones((3, 3, 4, 4)),
+                       "bias": jnp.zeros((4,))}}
+    tx = build_optimizer(params, lr0=0.1, epochs=1, steps_per_epoch=4,
+                         warmup_epochs=0.0, accumulate=1)
+    st = tx.init(params)
+    bad = jax.tree_util.tree_map(lambda p: jnp.full_like(p, jnp.nan), params)
+    up, st = tx.update(bad, st, params)
+    p1 = optax.apply_updates(params, up)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(p1))
+    np.testing.assert_array_equal(np.asarray(p1["conv"]["kernel"]),
+                                  np.asarray(params["conv"]["kernel"]))
+    # recovers: a following finite step still applies (at inner apply
+    # count 0 the weight-group warmup LR is exactly 0, so the movement
+    # shows on the bias group, which warms up from warmup_bias_lr)
+    good = jax.tree_util.tree_map(lambda p: jnp.ones_like(p), params)
+    up, st = tx.update(good, st, p1)
+    p2 = optax.apply_updates(p1, up)
+    moved = sum(
+        float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+        for a, b in zip(jax.tree_util.tree_leaves(p2),
+                        jax.tree_util.tree_leaves(p1))
+    )
+    assert moved > 0
