@@ -488,3 +488,114 @@ class Dataset:
                 yield item
         finally:
             stop.set()
+
+
+def load_segment_label_file(path: str):
+    """Read one YOLO-seg txt -> (labels [n,5], segments list of [k,2]).
+
+    Reference utils/segment/dataloaders.py: rows are
+    ``cls x1 y1 x2 y2 ...`` (normalized polygon, >=3 points); the box is the
+    polygon's extent."""
+    if not os.path.isfile(path):
+        return np.zeros((0, 5), np.float32), []
+    labels, segments = [], []
+    with open(path) as fh:
+        for line in fh.read().strip().splitlines():
+            parts = line.split()
+            if len(parts) < 7:  # cls + 3 points minimum
+                continue
+            cls = float(parts[0])
+            pts = np.array(parts[1:], np.float32).reshape(-1, 2)
+            x1, y1 = pts.min(0)
+            x2, y2 = pts.max(0)
+            labels.append([cls, (x1 + x2) / 2, (y1 + y2) / 2,
+                           x2 - x1, y2 - y1])
+            segments.append(pts)
+    if not labels:
+        return np.zeros((0, 5), np.float32), []
+    return np.array(labels, np.float32), segments
+
+
+class SegmentDataset(Dataset):
+    """Detection dataset + per-instance masks for Segment/Panoptic training
+    (reference utils/segment/dataloaders.py).  Masks are rasterized from the
+    label polygons at 1/``mask_ratio`` of the letterbox canvas — the proto
+    resolution (reference downsample_ratio=4).  Mosaic is disabled (polygon
+    mosaic is out of scope); letterbox/flip/HSV still apply."""
+
+    def __init__(self, *args, mask_ratio: int = 4, include_masks: bool = True,
+                 **kw):
+        kw.setdefault("hyp", {})
+        super().__init__(*args, **kw)
+        self.mask_ratio = mask_ratio
+        # include_masks=False parses polygon labels but yields plain
+        # detection batches (for the val loop, which is detection-metric)
+        self.include_masks = include_masks
+        # geometric augmentations are disabled: boxes and polygons must see
+        # the same transform, and the polygon variants (reference
+        # utils/segment/augmentations.py) are out of scope this round —
+        # HSV/color augmentation still applies
+        self.hyp["mosaic"] = 0.0
+        self.hyp["mixup"] = 0.0
+        self.hyp["fliplr"] = 0.0
+        self.hyp["flipud"] = 0.0
+
+    def _load_labels(self, cache_dir):
+        self.segments = []
+        labels = []
+        for p in self.label_files:
+            lb, segs = load_segment_label_file(p)
+            labels.append(lb)
+            self.segments.append(segs)
+        if self.single_cls:
+            for lb in labels:
+                if len(lb):
+                    lb[:, 0] = 0
+        return labels
+
+    def __getitem__(self, index: int):
+        from PIL import ImageDraw
+
+        if not self.include_masks:
+            return super().__getitem__(index)
+        img, labels, valid = super().__getitem__(index)
+        h, w = img.shape[:2]
+        mh, mw = h // self.mask_ratio, w // self.mask_ratio
+        masks = np.zeros((self.max_labels, mh, mw), np.float32)
+        # the letterbox transform applied to boxes in the parent __getitem__
+        # maps normalized native coords -> normalized canvas coords; recover
+        # it per-polygon from the meta (augment=False path) or re-derive
+        meta = self.meta(index)
+        (gy, gx), (pw, ph) = meta["ratio_pad"]
+        h0, w0 = meta["native_hw"]
+        n = min(len(self.segments[index]), self.max_labels)
+        for i in range(n):
+            pts = self.segments[index][i]
+            px = pts[:, 0] * w0 * gx + pw
+            py = pts[:, 1] * h0 * gy + ph
+            im = Image.new("F", (mw, mh), 0.0)
+            ImageDraw.Draw(im).polygon(
+                [(x / self.mask_ratio, y / self.mask_ratio)
+                 for x, y in zip(px, py)],
+                fill=1.0,
+            )
+            masks[i] = np.asarray(im)
+        return img, labels, valid, masks
+
+    def _collate(self, idxs, items, batch_size, drop_last,
+                 yield_count, yield_idx):
+        if not self.include_masks:
+            return super()._collate(idxs, items, batch_size, drop_last,
+                                    yield_count, yield_idx)
+        ims, lbs, ms, masks = zip(*items)
+        base = super()._collate(
+            idxs, list(zip(ims, lbs, ms)), batch_size, drop_last,
+            yield_count, yield_idx,
+        )
+        masks = np.stack(masks)
+        if len(idxs) < batch_size and not drop_last:
+            padn = batch_size - len(idxs)
+            masks = np.concatenate(
+                [masks, np.zeros((padn,) + masks.shape[1:], masks.dtype)]
+            )
+        return (*base, masks)

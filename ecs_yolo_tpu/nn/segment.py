@@ -169,3 +169,43 @@ def segment_mask_loss(
     return jnp.where(fg_mask, per_anchor, 0.0).sum() / jnp.maximum(
         fg_mask.sum(), 1
     )
+
+
+def compute_loss_segment(
+    out,  # training output: (feats, mc, protos) or (feats, mc, protos, sem)
+    targets,  # [B, M, 5]
+    t_mask,  # [B, M]
+    gt_masks,  # [B, M, ph, pw] binary instance masks at proto resolution
+    strides,
+    nc: int,
+    mask_gain: float = 2.5,
+):
+    """Composite detection + proto-mask loss (reference
+    utils/segment/loss_tal.py:170-252: box 7.5, mask 2.5/bs, cls 0.5,
+    dfl 1.5).  Returns (total*bs, (box, mask, cls, dfl))."""
+    from ..train.loss_tal import compute_loss_tal
+
+    feats, mc, protos = out[0], out[1], out[2]
+    B = feats[0].shape[0]
+    det_total, det_items, assign = compute_loss_tal(
+        feats, targets, t_mask, strides, nc, return_assign=True
+    )
+    # nearest-resize gt masks to the proto resolution (reference
+    # loss_tal.py:223-224 F.interpolate(..., mode='nearest'))
+    ph, pw = protos.shape[1:3]
+    if gt_masks.shape[-2:] != (ph, pw):
+        gt_masks = jax.image.resize(
+            gt_masks, gt_masks.shape[:2] + (ph, pw), method="nearest"
+        )
+    img_h, _ = assign["img_hw"]
+    # input pixels -> proto pixels
+    stride0_eff = img_h / ph * 2.0  # segment_mask_loss scales by 2/stride0
+    lm = segment_mask_loss(
+        mc, protos,
+        assign["fg_mask"], assign["target_gt_idx"], gt_masks,
+        assign["target_bboxes_px"], float(stride0_eff),
+    ) * mask_gain
+    items = jnp.stack(
+        [det_items[0], jax.lax.stop_gradient(lm), det_items[1], det_items[2]]
+    )
+    return det_total + lm * B, items

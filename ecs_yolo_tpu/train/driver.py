@@ -30,6 +30,19 @@ from .optim import build_optimizer, make_lr_fn
 from .trainer import create_train_state, make_train_step
 
 
+def _is_segment_head(cfg) -> bool:
+    """True when the model YAML's head is Segment/Panoptic (drives the
+    polygon-label SegmentDataset + composite mask loss)."""
+    from ..models.yolo import load_cfg
+
+    try:
+        d = load_cfg(cfg)
+        rows = list(d.get("head", []))
+        return bool(rows) and rows[-1][2] in ("Segment", "Panoptic")
+    except Exception:
+        return False
+
+
 def train(
     cfg: str = "resnet10.yaml",
     train_path=None,
@@ -93,6 +106,23 @@ def train(
         t_data = train_ds[0][0].shape[0]
         snn_cfg = SNNConfig(time_window=t_data)
         LOGGER.info(f"event mode: T={t_data} from data")
+    elif _is_segment_head(cfg):
+        # instance-segmentation training: polygon labels + proto-resolution
+        # masks feed the composite loss (reference utils/segment stack)
+        from ..data.dataset import SegmentDataset
+
+        train_ds = SegmentDataset(
+            train_path, img_size=imgsz, augment=True, hyp=hyp,
+            max_labels=max_labels,
+        )
+        val_ds = (
+            SegmentDataset(val_path, img_size=imgsz, augment=False,
+                           max_labels=max_labels, include_masks=False)
+            if val_path else None
+        )
+        image_weights = multi_scale = False
+        close_mosaic = 0
+        LOGGER.info("segmentation mode: polygon labels + instance masks")
     else:
         train_ds = Dataset(
             train_path, img_size=imgsz, augment=True, hyp=hyp,
@@ -167,11 +197,15 @@ def train(
     main = multihost.is_main()
     host_shard = (jax.process_index(), world) if world > 1 else None
     state = jax.device_put(state, rep)
+    seg_mode = model.head_name in ("Segment", "Panoptic") and hasattr(
+        train_ds, "include_masks"
+    )
     step_fn = make_train_step(
         model, tx, hyp, ema_decay=ema_decay,
         compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
         sr=sr, sr_total_steps=epochs * steps_per_epoch,
         accumulate=accumulate,
+        with_masks=seg_mode,
     )
 
     # multi-scale: per-EPOCH size buckets in /32 steps over 0.5-1.5x imgsz
@@ -262,14 +296,13 @@ def train(
         t0 = time.time()
         mloss = np.zeros(3)
         nb = 0
-        for ims, labels, masks in train_ds.batches(
+        for batch_np in train_ds.batches(
             batch_size, shuffle=True, seed=seed + epoch,
             workers=workers, host_shard=host_shard,
         ):
-            batch = (
-                multihost.to_global(data_s, np.asarray(ims)),
-                multihost.to_global(data_s, np.asarray(labels)),
-                multihost.to_global(data_s, np.asarray(masks)),
+            # 3-tuple detection batches; SegmentDataset adds gt masks
+            batch = tuple(
+                multihost.to_global(data_s, np.asarray(a)) for a in batch_np
             )
             state, metrics = step_fn(state, *batch)
             items = np.asarray(metrics["items"])[:3]

@@ -57,8 +57,14 @@ def compute_loss_tal(
     alpha: float = 0.5,
     beta: float = 6.0,
     cls_pw: float = 1.0,
+    return_assign: bool = False,
 ):
-    """Returns (total*bs, (box, cls, dfl)) — reference loss_tal.py:166-216."""
+    """Returns (total*bs, (box, cls, dfl)) — reference loss_tal.py:166-216.
+
+    With ``return_assign`` additionally returns the TAL assignment pieces the
+    segmentation mask loss needs (reference utils/segment/loss_tal.py:198):
+    fg_mask, target_gt_idx, target_bboxes in input pixels, and the proto
+    stride."""
     no = nc + reg_max * 4
     B = feats[0].shape[0]
     flat = jnp.concatenate([f.reshape(B, no, -1) for f in feats], axis=2)
@@ -117,6 +123,15 @@ def compute_loss_tal(
 
     box_g, cls_g, dfl_g = gains
     loss = jnp.stack([loss_iou * box_g, loss_cls * cls_g, loss_dfl * dfl_g])
+    if return_assign:
+        assign_info = dict(
+            fg_mask=fg,
+            target_gt_idx=assign.target_gt_idx,
+            target_bboxes_px=assign.target_bboxes,  # input pixels, xyxy
+            target_scores_sum=target_scores_sum,
+            img_hw=(img_h, img_w),
+        )
+        return loss.sum() * B, jax.lax.stop_gradient(loss), assign_info
     return loss.sum() * B, jax.lax.stop_gradient(loss)
 
 

@@ -121,11 +121,26 @@ def build_optimizer(
             min_warmup_steps=min_warmup,
         )
         if name.lower() == "sgd":
-            # constant momentum (the reference also warms momentum up over
-            # the same window; LR warmup is the dominant effect)
+            # momentum warms up warmup_momentum -> momentum over the same
+            # window as the LR (reference train.py:538-540), via
+            # inject_hyperparams so the trace decay follows the schedule
+            nw = max(warmup_epochs * sched_spe, min_warmup)
+
+            def mom_fn(step):
+                frac = jnp.clip(
+                    jnp.asarray(step, jnp.float32) / nw, 0.0, 1.0
+                )
+                return warmup_momentum + frac * (momentum - warmup_momentum)
+
             tx = optax.chain(
                 optax.add_decayed_weights(decay),
-                optax.sgd(learning_rate=lr_fn, momentum=momentum, nesterov=True),
+                optax.inject_hyperparams(
+                    lambda learning_rate, momentum: optax.sgd(
+                        learning_rate=learning_rate,
+                        momentum=momentum,
+                        nesterov=True,
+                    )
+                )(learning_rate=lr_fn, momentum=mom_fn),
             )
         elif name.lower() == "adam":
             tx = optax.chain(

@@ -21,6 +21,7 @@ class AssignResult(NamedTuple):
     target_bboxes: jax.Array  # [B, A, 4]
     target_scores: jax.Array  # [B, A, nc]
     fg_mask: jax.Array  # [B, A] bool
+    target_gt_idx: jax.Array  # [B, A] assigned gt row per anchor
 
 
 def select_candidates_in_gts(xy_centers, gt_bboxes, eps=1e-9):
@@ -113,5 +114,6 @@ def task_aligned_assigner(
     target_scores = target_scores * norm
 
     return AssignResult(
-        target_labels, target_bboxes, target_scores, fg_mask > 0
+        target_labels, target_bboxes, target_scores, fg_mask > 0,
+        target_gt_idx,
     )

@@ -98,13 +98,23 @@ def make_loss_fn(model: BuiltModel, hyp: Dict[str, float]):
             return compute_loss_triple(out, targets, t_mask, strides, nc)
 
     elif head in ("Segment", "Panoptic"):
-        # detection part of the composite loss; the proto/coefficient mask
-        # term (nn/segment.py segment_mask_loss) needs mask batches, which
-        # the detection Dataset does not carry — the segment trainer adds it
-        # (reference utils/segment/loss_tal.py)
+        # composite detection + proto-mask loss (reference
+        # utils/segment/loss_tal.py).  When the batch carries instance masks
+        # (SegmentDataset, make_train_step(with_masks=True)) the full loss
+        # runs; a plain detection batch falls back to the detection terms.
+        # Panoptic's semantic branch (out[3]) would additionally need
+        # semantic GT — not carried by the YOLO-seg label format (NOTE).
+        from ..nn.segment import compute_loss_segment
 
-        def loss(out, targets, t_mask):
-            return compute_loss_tal(out[0], targets, t_mask, strides, nc)
+        def loss(out, targets, t_mask, gt_masks=None):
+            if gt_masks is None:
+                if isinstance(out, tuple) and isinstance(out[0], (list, tuple)):
+                    return compute_loss_tal(out[0], targets, t_mask, strides, nc)
+                return compute_loss_tal(out, targets, t_mask, strides, nc)
+            return compute_loss_segment(
+                out, targets, t_mask, gt_masks, strides, nc,
+                mask_gain=hyp.get("mask", 2.5),
+            )
 
     else:
         raise KeyError(head)
@@ -120,6 +130,7 @@ def make_train_step(
     sr: float = 0.0,
     sr_total_steps: int = 0,
     accumulate: int = 1,
+    with_masks: bool = False,
 ):
     """Build the jitted train step.  Batch: (images [B,H,W,C] float 0-1,
     targets [B,M,5], mask [B,M]).  `sr > 0` enables network-slimming BN-L1
@@ -127,10 +138,12 @@ def make_train_step(
     match the optimizer's MultiSteps schedule: EMA then updates only on
     apply boundaries with the apply count as its decay ramp counter
     (reference ModelEMA updates once per optimizer step,
-    utils/torch_utils.py:286 + train.py:567-583)."""
+    utils/torch_utils.py:286 + train.py:567-583).  ``with_masks`` adds a
+    5th batch element — per-instance masks [B, M, ph, pw] — for the
+    Segment/Panoptic composite loss (SegmentDataset batches)."""
     loss_fn = make_loss_fn(model, hyp)
 
-    def step_fn(state: TrainState, images, targets, t_mask):
+    def step_fn(state: TrainState, images, targets, t_mask, gt_masks=None):
         def losses(params):
             # bf16 compute: fp32 master params cast at the apply boundary
             # (grads accumulate back into fp32 — the TPU equivalent of the
@@ -159,7 +172,10 @@ def make_train_step(
                     else a,
                     out,
                 )
-            total, items = loss_fn(out, targets, t_mask)
+            if with_masks:
+                total, items = loss_fn(out, targets, t_mask, gt_masks)
+            else:
+                total, items = loss_fn(out, targets, t_mask)
             return total.astype(jnp.float32), (items, upd["batch_stats"])
 
         (total, (items, new_bs)), grads = jax.value_and_grad(

@@ -20,7 +20,10 @@ from ecs_yolo_tpu.models.yolo import build_model
 from ecs_yolo_tpu.train.optim import build_optimizer
 from ecs_yolo_tpu.train.trainer import create_train_state, make_train_step
 
-BATCH, IMGSZ = 8, 640
+import os
+
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
+IMGSZ = int(os.environ.get("BENCH_IMGSZ", 640))
 HYP = dict(
     box=0.05, obj=1.0, cls=0.5, cls_pw=1.0, obj_pw=1.0, anchor_t=4.0,
     fl_gamma=0.0, label_smoothing=0.0, slide_ratio=0.0,

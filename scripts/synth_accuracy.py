@@ -59,6 +59,9 @@ def main(epochs=40, imgsz=64, opt="SGD", lr0=0.005):
         nc=2,
         epochs=epochs,
         batch_size=8,
+        nbs=8,  # no grad accumulation: 12 optimizer applies per epoch on
+        # this 96-image set (nbs=64 would leave the LR in warmup for ~15
+        # epochs and starve the run)
         imgsz=imgsz,
         optimizer=opt,
         max_labels=8,

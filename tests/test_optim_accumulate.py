@@ -138,3 +138,56 @@ def test_nonfinite_grads_skipped():
                         jax.tree_util.tree_leaves(p1))
     )
     assert moved > 0
+
+
+def test_momentum_warmup_schedule():
+    """SGD momentum ramps warmup_momentum -> momentum over the warmup
+    window (reference train.py:538-540)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ecs_yolo_tpu.train.optim import build_optimizer
+
+    params = {"conv": {"kernel": jnp.ones((2, 2, 2, 2)),
+                       "bias": jnp.zeros((2,))}}
+    tx = build_optimizer(params, lr0=0.1, epochs=2, steps_per_epoch=10,
+                         warmup_epochs=1.0, accumulate=1)
+    st = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    def find_momenta(tree):
+        out = []
+
+        def rec(n):
+            if hasattr(n, "hyperparams"):
+                hp = n.hyperparams
+                if "momentum" in hp:
+                    out.append(float(hp["momentum"]))
+            if isinstance(n, (list, tuple)):
+                for c in n:
+                    rec(c)
+            elif hasattr(n, "_asdict"):
+                for c in n._asdict().values():
+                    rec(c)
+            elif isinstance(n, dict):
+                for c in n.values():
+                    rec(c)
+
+        rec(tree)
+        return out
+
+    p = params
+    early = None
+    for i in range(12):
+        up, st = tx.update(g, st, p)
+        p = optax.apply_updates(p, up)
+        ms = find_momenta(st)
+        assert ms, "no momentum hyperparam found in opt state"
+        if i == 0:
+            early = ms[0]
+    late = find_momenta(st)[0]
+    # min_warmup_steps=100 dominates here: the ramp is 0.8 -> 0.937 over
+    # 100 applies, so after 12 applies momentum has risen but not converged
+    assert early < late < 0.937
+    assert abs(early - 0.8) < 0.02
