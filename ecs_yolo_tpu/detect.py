@@ -62,7 +62,11 @@ def run(
         out = model.module.apply(variables, images, training=False)
         if model.head_name == "v10Detect":
             return out.one2one[0]
-        return out[0]
+        pred = out[0]
+        if model.head_name in ("Segment", "Panoptic"):
+            # drop mask coefficients before NMS (see val.py)
+            pred = pred[:, : 4 + model.nc, :]
+        return pred
 
     if save_dir:
         Path(save_dir).mkdir(parents=True, exist_ok=True)

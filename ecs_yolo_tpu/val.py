@@ -56,7 +56,13 @@ def run(
         out = model.module.apply(variables, images, training=False)
         if model.head_name in ("v10Detect", "ASFF_v10Detect"):
             return out.one2one[0]
-        return out[0]
+        pred = out[0]
+        if model.head_name in ("Segment", "Panoptic"):
+            # [B, 4+nc+nm, A]: drop the mask coefficients before NMS —
+            # they are not class scores (reference val runs the detection
+            # slice the same way)
+            pred = pred[:, : 4 + model.nc, :]
+        return pred
 
     iouv = np.linspace(0.5, 0.95, 10)
     stats = []
