@@ -72,3 +72,9 @@ for ims, labels, masks in ds.batches(
 fit = multihost.broadcast_scalar(123.0 if multihost.is_main() else 0.0)
 assert fit == 123.0, fit
 print("LOSS " + " ".join(f"{v:.6f}" for v in losses), flush=True)
+
+if world > 1:
+    # reach the shutdown barrier in lockstep (the broadcast above already
+    # synchronized the tasks) — leaving it to interpreter exit makes the
+    # barrier sensitive to atexit/GC timing skew under host load
+    jax.distributed.shutdown()

@@ -44,6 +44,19 @@ def parse_opt():
                         "(the reference's AMP equivalent on TPU)")
     p.add_argument("--workers", type=int, default=4,
                    help="async host-loader threads (0 = synchronous)")
+    p.add_argument("--multi-scale", action="store_true",
+                   help="vary train image size 0.5-1.5x per epoch "
+                        "(reference train.py:544-551, epoch-bucketed)")
+    p.add_argument("--image-weights", action="store_true",
+                   help="class-aware image resampling (reference "
+                        "--image-weights)")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir to resume from (reference --resume)")
+    p.add_argument("--sr", type=float, default=0.0,
+                   help="BN-L1 sparsity rate (reference train_sparsity.py; "
+                        "0 disables)")
+    p.add_argument("--nbs", type=int, default=64,
+                   help="nominal batch size for gradient accumulation")
     p.add_argument("--device", default="",
                    help="jax platform, e.g. cpu or tpu (reference --device)")
     p.add_argument("--evolve", type=int, nargs="?", const=300, default=0,
@@ -94,6 +107,11 @@ def main(opt):
         remat_neuron=opt.remat_neuron,
         bf16=opt.bf16,
         workers=opt.workers,
+        multi_scale=opt.multi_scale,
+        image_weights=opt.image_weights,
+        resume=opt.resume,
+        sr=opt.sr,
+        nbs=opt.nbs,
         events=opt.events,
         autoanchor=not opt.noautoanchor,
     )
