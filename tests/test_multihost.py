@@ -59,16 +59,18 @@ def test_two_process_ddp_matches_single(tiny_data):
     port = _free_port()
     # single process, 4 local devices
     p = _run(0, 1, port, tiny_data, 4)
-    out, err = p.communicate(timeout=900)
+    out, err = p.communicate(timeout=2400)
     assert p.returncode == 0, err[-2000:]
     ref = _losses(out)
 
-    # two processes x 2 devices = the same 4-device global mesh
+    # two processes x 2 devices = the same 4-device global mesh.
+    # generous timeout: both ranks compile the train step independently and
+    # the suite may be sharing the host's cores
     port = _free_port()
     procs = [_run(r, 2, port, tiny_data, 2) for r in range(2)]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=900)
+        out, err = p.communicate(timeout=2400)
         assert p.returncode == 0, err[-2000:]
         outs.append(out)
     l0, l1 = _losses(outs[0]), _losses(outs[1])

@@ -13,13 +13,23 @@ from ecs_yolo_tpu.train.ema import ema_decay
 
 
 def _run(tx, params, grads, n_micro):
-    state = tx.init(params)
-    traj = []
-    for _ in range(n_micro):
+    """Whole trajectory under one lax.scan: a single dispatch instead of
+    n_micro host round-trips (the python-loop version segfaulted XLA CPU
+    deep into full-suite runs)."""
+
+    def body(carry, _):
+        params, state = carry
         updates, state = tx.update(grads, state, params)
         params = optax.apply_updates(params, updates)
-        traj.append(jax.tree_util.tree_map(np.asarray, params))
-    return traj
+        return (params, state), params
+
+    (_, _), traj = jax.jit(
+        lambda p, s: jax.lax.scan(body, (p, s), None, length=n_micro)
+    )(params, tx.init(params))
+    traj = jax.device_get(traj)  # pytree with leading [n_micro] axis
+    return [
+        jax.tree_util.tree_map(lambda a: a[k], traj) for k in range(n_micro)
+    ]
 
 
 def test_accumulate_matches_unaccumulated_schedule():
