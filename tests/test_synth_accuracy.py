@@ -1,11 +1,10 @@
 """Quantified accuracy signal on learnable synthetic data (VERDICT r1
 item 10): the full loss/assigner/NMS/metrics loop must demonstrably learn.
 
-The CI proxy trains EMS-Res10 (T=2 via the driver default snn? no — full
-T) for 10 epochs on 96 synthetic images and requires mAP50 >= 0.25 — the
-measured trajectory at this point is ~0.5 (scripts/synth_accuracy.py;
-30 epochs reach ~0.77, 50 epochs the 0.8+ target recorded in BASELINE.md),
-so the margin is ~2x for CI noise.
+The CI proxy trains EMS-Res10 for 6 epochs on 96 synthetic images and
+requires best mAP50 >= 0.25 — the measured trajectory reaches 0.31-0.38 by
+epoch 3-5 (scripts/synth_accuracy.py; 30 epochs ~0.77-0.87, 50 epochs
+0.93, recorded in BASELINE.md), so the margin covers CI noise.
 """
 
 import numpy as np
@@ -27,12 +26,12 @@ def test_synth_detection_accuracy(tmp_path):
         train_path=str(root / "train" / "images"),
         val_path=str(root / "val" / "images"),
         nc=2,
-        epochs=10,
+        epochs=6,
         batch_size=8,
         nbs=8,
         imgsz=64,
         max_labels=8,
-        patience=10,
+        patience=6,
         val_every=2,
         save_dir=str(tmp_path / "exp"),
         hyp=dict(mosaic=0.0, mixup=0.0, fliplr=0.5, translate=0.1,
