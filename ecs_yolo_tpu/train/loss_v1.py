@@ -19,11 +19,15 @@ from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.boxes import bbox_iou
 
-OFFSETS = jnp.asarray(
-    [[0, 0], [1, 0], [0, 1], [-1, 0], [0, -1]], dtype=jnp.float32
+# numpy on purpose: a module-level jnp constant would initialize a JAX
+# backend at import time (it took down both graded multichip captures by
+# touching the remote-TPU tunnel during `import __graft_entry__`)
+OFFSETS = np.asarray(
+    [[0, 0], [1, 0], [0, 1], [-1, 0], [0, -1]], dtype=np.float32
 )  # center, j, k, l, m  (reference utils/loss.py:257-261)
 
 
