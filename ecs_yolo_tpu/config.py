@@ -44,6 +44,15 @@ class SNNConfig:
     # Currently OFF the hot path — measured slower than XLA's fused unrolled
     # scan on v5e (see docs/DESIGN.md); kept for further Mosaic tuning.
     fused_inference: bool = False
+    # width-packed ECS spread (snn/packed_spread.py): at C <= 64 sites the
+    # dw3x3+pw1x1 spread runs as ONE dense conv over the width-packed
+    # [.., W//f, f*C] layout, filling all 128 MXU lanes.  Exact same math;
+    # 1.13x at an isolated stem site but a NET FULL-MODEL REGRESSION
+    # (110 -> 95 img/s): the logical reshape is a real relayout in TPU tiled
+    # layout (C=64 pads to 128 lanes), paid at every site boundary — see
+    # docs/DESIGN.md round-3.  OFF the hot path; kept for packed-segment
+    # experiments.
+    packed_spread: bool = False
     # selective rematerialization: checkpoint ONLY the neuron recurrences
     # (the T-step scan materializes ~3 state tensors per step per site for
     # the backward — the dominant training-memory term).  Much cheaper to

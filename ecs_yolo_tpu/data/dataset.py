@@ -387,10 +387,31 @@ class Dataset:
             return ims, np.stack(lbs), np.stack(ms), len(idxs)
         return ims, np.stack(lbs), np.stack(ms)
 
+    @staticmethod
+    def _quadify(ims, lbs, ms):
+        """Quad collate (reference ``--quad``, utils/datasets.py:659
+        collate_fn4): every 4 samples tile into one 2x-canvas image — 1/4
+        the batch at 2x resolution for the same pixel throughput.  Labels
+        shift/halve into their quadrant.  NOTE: the reference randomly
+        replaces some tiles with one bilinear-2x-upscaled image; tiling
+        here is deterministic (the upscale branch is an augmentation
+        heuristic, not a format requirement)."""
+        b, h, w, c = ims.shape
+        q = ims.reshape(b // 4, 2, 2, h, w, c)
+        q = q.transpose(0, 1, 3, 2, 4, 5).reshape(b // 4, 2 * h, 2 * w, c)
+        lbs = lbs.reshape(b // 4, 4, *lbs.shape[1:]).copy()
+        col = np.array([0, 1, 0, 1], np.float32)[None, :, None]
+        row = np.array([0, 0, 1, 1], np.float32)[None, :, None]
+        lbs[..., 1] = (lbs[..., 1] + col) / 2
+        lbs[..., 2] = (lbs[..., 2] + row) / 2
+        lbs[..., 3:5] /= 2
+        return (q, lbs.reshape(b // 4, -1, 5),
+                ms.reshape(b // 4, -1))
+
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
                 drop_last: bool = True, yield_count: bool = False,
                 yield_idx: bool = False, workers: int = 0, prefetch: int = 2,
-                host_shard=None):
+                host_shard=None, quad: bool = False):
         """Yield (images [B,H,W,3], labels [B,M,5], masks [B,M]) batches.
         In rect mode, batches group by aspect-ratio bucket so each bucket
         shape compiles once.  With ``yield_count`` each batch also carries
@@ -410,6 +431,18 @@ class Dataset:
         seeded batch plan over the GLOBAL batch size, then decodes only its
         contiguous 1/world slice of each batch — the caller reassembles the
         global array via ``parallel.multihost.to_global``."""
+        if quad:
+            # train-time collate only: no eval metadata, full batches
+            if yield_count or yield_idx:
+                raise ValueError("quad collate carries no eval metadata")
+            if batch_size % 4:
+                raise ValueError(f"quad needs batch % 4 == 0, got {batch_size}")
+            for ims, lbs, ms in self.batches(
+                batch_size, shuffle=shuffle, seed=seed, drop_last=True,
+                workers=workers, prefetch=prefetch, host_shard=host_shard,
+            ):
+                yield self._quadify(ims, lbs, ms)
+            return
         plan = self._batch_plan(batch_size, shuffle, seed, drop_last)
         if host_shard is not None:
             rank, world = host_shard

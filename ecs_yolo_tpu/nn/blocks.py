@@ -146,15 +146,36 @@ class MemUpdate(nn.Module):
             "spread_pw_kernel", torch_conv_kernel_init, (1, 1, c, c)
         )
         pw_bias = self.param("spread_pw_bias", make_bias_init(pw_fan_in), (c,))
-        # Spread stays depthwise-3x3 -> pointwise-1x1 (reference
-        # models/common.py:285-303).  Alternatives measured and rejected on
-        # v5e (docs/DESIGN.md round-2): rank-1 composite 3x3 full conv
-        # (identical 13-14 ms at the C=64 stem — the cost is the
-        # half-lane-padded conv itself, not the depthwise lowering — and
-        # 9x FLOPs at C>=256 sites), shift-add depthwise (breaks fusion),
-        # 9-tap Pallas (Mosaic slice copies).
+        # Spread structure is depthwise-3x3 -> pointwise-1x1 (reference
+        # models/common.py:285-303).  With `snn.packed_spread` (OFF by
+        # default) the pair runs as ONE dense conv over the width-packed
+        # [.., W//f, f*C] layout — exact same math, full MXU lanes, 1.13x at
+        # an isolated stem site but a net full-model REGRESSION from the
+        # pack/unpack relayouts (docs/DESIGN.md round-3).  Other rejected
+        # alternatives (round-2): rank-1 composite 3x3 full conv, shift-add
+        # depthwise, 9-tap Pallas.
+        from ..snn.packed_spread import (
+            build_packed_spread,
+            pack_factor,
+            pack_w,
+            packed_spread_fn,
+            unpack_w,
+        )
+
+        f = pack_factor(c, x.shape[-2]) if self.snn.packed_spread else 1
+
         def _scan(x, dwk, dwbias, pwk, pwbias):
             dtype = x.dtype
+
+            if f >= 2:
+                kp, bp = build_packed_spread(dwk, dwbias, pwk, pwbias, f)
+                sp = ecs_lif_scan(
+                    pack_w(x, f),
+                    packed_spread_fn(kp.astype(dtype), bp.astype(dtype)),
+                    self.snn,
+                    act=self.act,
+                )
+                return unpack_w(sp, f)
 
             def spread(s: jax.Array) -> jax.Array:
                 d = jax.lax.conv_general_dilated(

@@ -12,7 +12,7 @@ The mesh axes are declared so larger topologies can extend to ('data',
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -22,6 +22,54 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.array(devices), (axis,))
+
+
+def make_mesh_2d(
+    devices: Optional[Sequence] = None,
+    model_parallel: int = 2,
+    axes: Tuple[str, str] = ("data", "model"),
+) -> Mesh:
+    """2-D ('data', 'model') mesh: batch sharded over 'data', large weight
+    matrices sharded over 'model' (see :func:`shard_params`).
+
+    The reference has no TP/FSDP equivalent (DDP only, SURVEY §2.10); this is
+    the TPU-native extension point — the train step itself is GSPMD-agnostic,
+    so hybrid data x weight sharding needs only placement, no code changes.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    assert len(devices) % model_parallel == 0, (
+        f"{len(devices)} devices not divisible by model_parallel="
+        f"{model_parallel}"
+    )
+    grid = np.array(devices).reshape(-1, model_parallel)
+    return Mesh(grid, axes)
+
+
+def shard_params(mesh: Mesh, tree, axis: str = "model", min_last: int = 0):
+    """Device-put a parameter-like pytree with weight sharding over ``axis``.
+
+    Rule (applies identically to params, optimizer state, and EMA, since
+    their leaves share shapes): arrays of rank >= 2 whose trailing
+    (output-channel) dimension divides evenly over the axis are sharded on
+    that dimension — conv kernels [kh,kw,ci,co] split co — everything else
+    (biases, BN vectors, scalars) is replicated.  XLA SPMD inserts the
+    all-gathers at use and keeps the optimizer update sharded (ZeRO-3-style
+    memory scaling over the 'model' axis).
+    """
+    mp = mesh.shape[axis]
+
+    def put(x):
+        if (
+            hasattr(x, "ndim")
+            and x.ndim >= 2
+            and x.shape[-1] % mp == 0
+            and x.shape[-1] >= max(mp, min_last)
+        ):
+            spec = P(*([None] * (x.ndim - 1) + [axis]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

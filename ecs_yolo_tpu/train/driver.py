@@ -21,7 +21,13 @@ from .. import val as val_mod
 from ..data.dataset import Dataset
 from ..data.hyps import HYP_SCRATCH
 from ..models.yolo import build_model
-from ..parallel.mesh import make_mesh, batch_sharding, replicated
+from ..parallel.mesh import (
+    make_mesh,
+    make_mesh_2d,
+    batch_sharding,
+    replicated,
+    shard_params,
+)
 from ..parallel import multihost
 from ..utils.checkpoint import save_checkpoint, strip_optimizer
 from ..utils.general import LOGGER, Callbacks, EarlyStopping, increment_path
@@ -75,6 +81,8 @@ def train(
     workers: int = 4,
     bf16: bool = False,
     remat_neuron: bool = False,
+    model_parallel: int = 1,
+    quad: bool = False,
 ):
     """Returns (state, best_fitness, results_history).
 
@@ -185,18 +193,39 @@ def train(
     # its slice of the global batch (parallel/multihost.py).
     devs = jax.devices()
     world = jax.process_count()
-    n_dev = max(d for d in range(1, len(devs) + 1) if batch_size % d == 0)
+    mp = max(model_parallel, 1)
+    # quad collate yields batch//4 canvases — the device batch the mesh sees
+    step_batch = batch_size // 4 if quad else batch_size
+    # largest device count that is a multiple of the model axis AND whose
+    # data-axis extent divides the batch (data-parallel over 'data')
+    n_dev = max(
+        (d for d in range(1, len(devs) + 1)
+         if d % mp == 0 and step_batch % (d // mp) == 0),
+        default=0,
+    )
+    if n_dev == 0:
+        raise ValueError(
+            f"model_parallel={mp} needs at least {mp} devices whose "
+            f"data-axis extent divides the step batch {step_batch}; "
+            f"have {len(devs)} device(s)"
+        )
     if world > 1 and n_dev != len(devs):
         raise ValueError(
             f"multi-host training needs batch {batch_size} divisible by "
             f"all {len(devs)} devices"
         )
-    mesh = make_mesh(devs[:n_dev])
+    if mp > 1:
+        # hybrid (data x model) mesh: weight/optimizer/EMA leaves shard
+        # their output-channel dim over 'model' (parallel/mesh.shard_params,
+        # ZeRO-3-style); the reference has no TP/FSDP equivalent
+        mesh = make_mesh_2d(devs[:n_dev], mp)
+    else:
+        mesh = make_mesh(devs[:n_dev])
     data_s = batch_sharding(mesh)
     rep = replicated(mesh)
     main = multihost.is_main()
     host_shard = (jax.process_index(), world) if world > 1 else None
-    state = jax.device_put(state, rep)
+    state = shard_params(mesh, state) if mp > 1 else jax.device_put(state, rep)
     seg_mode = model.head_name in ("Segment", "Panoptic") and hasattr(
         train_ds, "include_masks"
     )
@@ -253,7 +282,8 @@ def train(
             ema_params=tree["ema_params"],
             step=jnp.asarray(tree["step"], jnp.int32),
         )
-        state = jax.device_put(state, rep)
+        state = (shard_params(mesh, state) if mp > 1
+                 else jax.device_put(state, rep))
         start_epoch = int(meta.get("epoch", -1)) + 1
         best_fitness = float(meta.get("best_fitness", 0.0))
         stopper.best_fitness = best_fitness
@@ -299,6 +329,7 @@ def train(
         for batch_np in train_ds.batches(
             batch_size, shuffle=True, seed=seed + epoch,
             workers=workers, host_shard=host_shard,
+            quad=quad and not events and not seg_mode,
         ):
             # 3-tuple detection batches; SegmentDataset adds gt masks
             batch = tuple(

@@ -129,6 +129,35 @@ class TestDataset:
         assert lbs.shape == (2, 300, 5)
         assert ms.shape == (2, 300)
 
+    def test_quad_collate(self, mini_dataset):
+        """Reference --quad (utils/datasets.py:659): 4 samples -> one 2x
+        canvas; labels shift/halve into their quadrant."""
+        ds = Dataset(str(mini_dataset / "images"), img_size=160,
+                     augment=False)
+        (ims, lbs, ms), = list(ds.batches(4, quad=True))
+        assert ims.shape == (1, 320, 320, 3)
+        assert lbs.shape == (1, 4 * 300, 5) and ms.shape == (1, 4 * 300)
+
+        # pixel content: quadrant (r, c) holds sample 2r + c
+        singles = [b[0][0] for b in ds.batches(1)]
+        for i, im in enumerate(singles):
+            r, c = divmod(i, 2)
+            np.testing.assert_array_equal(
+                ims[0, r * 160:(r + 1) * 160, c * 160:(c + 1) * 160], im)
+
+        # labels: real rows map into the right quadrant with halved size
+        s_lbs = [b[1][0] for b in ds.batches(1)]
+        s_ms = [b[2][0] for b in ds.batches(1)]
+        for i in range(4):
+            r, c = divmod(i, 2)
+            got = lbs[0, i * 300:(i + 1) * 300][s_ms[i]]
+            want = s_lbs[i][s_ms[i]].copy()
+            want[:, 1] = (want[:, 1] + c) / 2
+            want[:, 2] = (want[:, 2] + r) / 2
+            want[:, 3:5] /= 2
+            np.testing.assert_allclose(got, want, rtol=1e-6)
+        assert np.array_equal(ms[0].reshape(4, 300), np.stack(s_ms))
+
     def test_label_cache(self, mini_dataset, tmp_path):
         ds1 = Dataset(
             str(mini_dataset / "images"), img_size=160, cache_dir=str(tmp_path)

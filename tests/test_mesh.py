@@ -126,6 +126,61 @@ def test_sharded_eval_parity(built):
     np.testing.assert_allclose(z1, z8, rtol=2e-5, atol=1e-6)
 
 
+def test_train_step_parity_2d_mesh(built):
+    """Hybrid (data x model) sharding — batch over 'data', conv-kernel
+    output channels over 'model' (ZeRO-3-style) — is numerically identical
+    to the single-device step.  The reference has no TP/FSDP equivalent;
+    this pins the TPU-native extension (parallel/mesh.py make_mesh_2d)."""
+    from ecs_yolo_tpu.parallel.mesh import make_mesh_2d, shard_params
+
+    model, variables = built
+    d0 = jax.devices()[0]
+    st1, m1 = _run_step(
+        model, variables,
+        lambda s, i, t, k: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, d0), (s, i, t, k)),
+    )
+
+    mesh = make_mesh_2d(jax.devices()[:8], model_parallel=2)
+    with mesh:
+        st2, m2 = _run_step(
+            model, variables,
+            lambda s, i, t, k: (
+                shard_params(mesh, s),
+                *shard_batch(mesh, (i, t, k)),
+            ),
+        )
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st1.params),
+                    jax.tree_util.tree_leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st1.batch_stats),
+                    jax.tree_util.tree_leaves(st2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_shard_params_layout():
+    """Conv kernels really split their output-channel dim over 'model'."""
+    from ecs_yolo_tpu.parallel.mesh import make_mesh_2d, shard_params
+
+    mesh = make_mesh_2d(jax.devices()[:8], model_parallel=2)
+    tree = {
+        "kernel": jnp.zeros((3, 3, 8, 16)),
+        "bias": jnp.zeros((16,)),
+        "odd": jnp.zeros((4, 7)),  # 7 % 2 != 0 -> replicated
+    }
+    out = shard_params(mesh, tree)
+    assert len(out["kernel"].addressable_shards) == 8
+    # each model-shard holds half the output channels, replicated over data
+    assert out["kernel"].addressable_shards[0].data.shape == (3, 3, 8, 8)
+    assert out["bias"].addressable_shards[0].data.shape == (16,)
+    assert out["odd"].addressable_shards[0].data.shape == (4, 7)
+
+
 def test_batch_sharding_layout():
     """The batch axis really is split 1-per-device across the mesh."""
     mesh = make_mesh(jax.devices()[:8])

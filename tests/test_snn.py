@@ -198,3 +198,69 @@ def test_scan_jits_and_vmaps():
     x = jnp.zeros((4, 2, 8))
     out = jax.jit(lambda x: lif_scan(x, CFG))(x)
     assert out.shape == x.shape
+
+
+class TestPackedSpread:
+    """Width-packed ECS spread (snn/packed_spread.py) == unpacked dw+pw.
+
+    OFF by default (net full-model regression from pack/unpack relayouts,
+    docs/DESIGN.md round-3); these tests pin the exact-math equivalence so
+    packed-segment experiments can build on it.
+    """
+
+    def _run(self, packed, act):
+        from ecs_yolo_tpu.nn.blocks import MemUpdate
+
+        cfg = CFG.replace(packed_spread=packed)
+        T, N, H, W, C = 4, 2, 6, 8, 16  # f = 8
+        x = jnp.asarray(
+            np.random.RandomState(5).randn(T, N, H, W, C), jnp.float32)
+        mod = MemUpdate(act=act, snn=cfg)
+        vars_ = mod.init(jax.random.PRNGKey(0), x)
+        out = mod.apply(vars_, x, mutable=["spike_stats"])[0] \
+            if not act else mod.apply(vars_, x)
+        return np.asarray(out)
+
+    def test_silu_parity(self):
+        a = self._run(packed=False, act=True)
+        b = self._run(packed=True, act=True)
+        np.testing.assert_allclose(a, b, atol=5e-5)
+
+    def test_spike_parity(self):
+        a = self._run(packed=False, act=False)
+        b = self._run(packed=True, act=False)
+        # heaviside can flip on reduction-order differences at the threshold
+        assert np.mean(a != b) < 0.02
+
+    def test_grads_flow_to_spread_params(self):
+        from ecs_yolo_tpu.nn.blocks import MemUpdate
+
+        cfg = CFG.replace(packed_spread=True)
+        x = jnp.asarray(
+            np.random.RandomState(6).randn(4, 1, 4, 8, 16), jnp.float32)
+        mod = MemUpdate(act=True, snn=cfg)
+        vars_ = mod.init(jax.random.PRNGKey(0), x)
+
+        def loss(params):
+            return jnp.sum(mod.apply({"params": params}, x) ** 2)
+
+        g = jax.grad(loss)(vars_["params"])
+        for name in ("spread_dw_kernel", "spread_pw_kernel",
+                     "spread_dw_bias", "spread_pw_bias"):
+            assert float(jnp.abs(g[name]).max()) > 0.0, name
+
+    def test_odd_width_falls_back(self):
+        from ecs_yolo_tpu.nn.blocks import MemUpdate
+        from ecs_yolo_tpu.snn.packed_spread import pack_factor
+
+        # any divisor of W that fits the lanes is usable (7*16 <= 128)...
+        assert pack_factor(16, 7) == 7
+        # ...but a prime W over the lane budget falls back to unpacked
+        assert pack_factor(64, 9) == 1
+        cfg = CFG.replace(packed_spread=True)
+        x = jnp.asarray(
+            np.random.RandomState(7).randn(2, 1, 5, 9, 64), jnp.float32)
+        mod = MemUpdate(act=True, snn=cfg)
+        vars_ = mod.init(jax.random.PRNGKey(0), x)
+        out = mod.apply(vars_, x)
+        assert out.shape == x.shape

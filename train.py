@@ -44,6 +44,13 @@ def parse_opt():
                         "(the reference's AMP equivalent on TPU)")
     p.add_argument("--workers", type=int, default=4,
                    help="async host-loader threads (0 = synchronous)")
+    p.add_argument("--quad", action="store_true",
+                   help="quad collate: tile every 4 samples into one 2x "
+                        "canvas (reference --quad / collate_fn4)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="'model' mesh-axis extent: shard weight/optimizer/"
+                        "EMA output channels over this many devices "
+                        "(hybrid data x model mesh; 1 = pure data-parallel)")
     p.add_argument("--multi-scale", action="store_true",
                    help="vary train image size 0.5-1.5x per epoch "
                         "(reference train.py:544-551, epoch-bucketed)")
@@ -106,6 +113,8 @@ def main(opt):
         remat=opt.remat,
         remat_neuron=opt.remat_neuron,
         bf16=opt.bf16,
+        model_parallel=opt.model_parallel,
+        quad=opt.quad,
         workers=opt.workers,
         multi_scale=opt.multi_scale,
         image_weights=opt.image_weights,
