@@ -65,6 +65,7 @@ C2_BLOCKS = {
     "BottleneckCSP": BX.BottleneckCSP,
     "C3": BX.C3,
     "C3Ghost": BX.C3Ghost,
+    "C3SPP": BX.C3SPP,
     "C2f": BX.C2f,
     "SPP": BX.SPP,
     "SPPF": BX.SPPF,
@@ -127,6 +128,9 @@ C2_BLOCKS = {
     "ResNetLayerBasic": BT2.ResNetLayerBasic,
     "ResNetLayerBo": BT2.ResNetLayerBo,
     "BasicBlock_ms1": BT2.BasicBlock_ms1,
+    "BasicBlock_1n": BT2.BasicBlock_1n,
+    "BasicBlock_1m": BT2.BasicBlock_1m,
+    "StarBlock_1s": BS.StarBlock_1s,
 }
 
 # blocks that repeat n times by inserting the count as the arg after c2

@@ -179,6 +179,31 @@ class C3Ghost(C3):
         ]
 
 
+class C3SPP(nn.Module):
+    """C3 whose inner stack is a single SPP (reference C3SPP, :2331-2337).
+
+    NOTE: standalone module rather than a C3 subclass because its YAML arg
+    order is (c2, k) — the pooling sizes come second, and parse_model does
+    NOT insert a repeat count for it (reference yolo_snn.py:861-863 list)."""
+
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv_3(c_, 1, 1, snn=self.snn, name="cv1")(x, training)
+        y1 = SPP(c_, tuple(self.k), snn=self.snn, name="m")(y1, training)
+        y2 = Conv_3(c_, 1, 1, snn=self.snn, name="cv2")(x, training)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return Conv_4(self.c2, 1, snn=self.snn, name="cv3")(y, training)
+
+
 class C2f(nn.Module):
     """Fast CSP with 2 convs (reference :2268)."""
 

@@ -55,6 +55,51 @@ class StarBlock(nn.Module):
         return inp + y
 
 
+class StarBlock_1s(nn.Module):
+    """1x1-expand-first gated block (reference StarBlock_1s, :4375-4436):
+    dw = spike -> 1x1 (c1 -> r*c2) -> BN; two parallel depthwise kxk/s
+    branches f1 (BN gamma=thresh) and f2 (BN gamma=0.2*thresh) gated
+    ``relu6(f1) * f2``; dw2 = spike -> 1x1 (r*c2 -> c2, bias) -> depthwise
+    kxk -> BN; out = shortcut(input) + drop_path(gate path)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    mlp_ratio: int = 3
+    drop_path: float = 0.0
+    add: bool = True  # positional YAML-compat slot (reference, unused)
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        ch = self.mlp_ratio * self.c2
+        pad = (self.k - 1) // 2
+        y = MemUpdate(act=False, snn=self.snn, name="dw_act")(x, training)
+        y = SnnConv(ch, 1, 1, name="dw_conv")(y)
+        y = TBatchNorm(1.0, self.snn, name="dw_bn")(y, training)
+        x1 = MemUpdate(act=False, snn=self.snn, name="f1_act")(y, training)
+        x1 = SnnConv(ch, self.k, self.s, pad, g=ch, name="f1_conv")(x1)
+        x1 = TBatchNorm(1.0, self.snn, name="f1_bn")(x1, training)
+        x2 = MemUpdate(act=False, snn=self.snn, name="f2_act")(y, training)
+        x2 = SnnConv(ch, self.k, self.s, pad, g=ch, name="f2_conv")(x2)
+        x2 = TBatchNorm(0.2, self.snn, name="f2_bn")(x2, training)
+        y = jax.nn.relu6(x1) * x2
+        y = MemUpdate(act=False, snn=self.snn, name="dw2_act")(y, training)
+        y = SnnConv(self.c2, 1, 1, use_bias=True, name="dw2_conv1")(y)
+        y = SnnConv(self.c2, self.k, 1, pad, g=self.c2, name="dw2_conv2")(y)
+        y = TBatchNorm(1.0, self.snn, name="dw2_bn")(y, training)
+        y = DropPath(self.drop_path, name="drop")(y, training)
+        if self.s != 1 or c1 != self.c2:
+            sc = max_pool_t(x, self.s)
+            sc = MemUpdate(act=False, snn=self.snn, name="sc_act")(sc, training)
+            sc = SnnConv(self.c2, 1, 1, name="sc_conv")(sc)
+            sc = TBatchNorm(1.0, self.snn, name="sc_bn")(sc, training)
+        else:
+            sc = x
+        return sc + y
+
+
 class StarBlock_1(nn.Module):
     """1024-hidden gated block (reference :4300-4373): two grouped kxk
     branches gated relu6(f1)*f2, projel back, pooled residual."""

@@ -29,8 +29,67 @@ from .blocks import (
     SnnConv, TBatchNorm, MemUpdate, Conv, Conv_1, Conv_3, Conv_4,
     BasicBlock_1, BasicBlock_2, Concat_res2, max_pool_t, fold_t, unfold_t,
 )
-from .blocks_ext import GhostBottleneck, C3
+from .blocks_ext import GhostBottleneck, C3, RepConv
 from .blocks_tail import BasicBlock_ms
+
+
+class BasicBlock_1n(nn.Module):
+    """MS residual, 1024 hidden, pre-BN entry (reference BasicBlock_1n,
+    models/common.py:1082-1114): BN -> spike -> 3x3 (c_=1024, stride) ->
+    BN1 -> spike -> 3x3 with NO final BN; shortcut (when shape changes) =
+    maxpool -> BN -> spike -> 1x1, also with NO final BN."""
+
+    c2: int
+    s: int = 1
+    e: float = 0.5  # positional YAML-compat slot (reference, unused)
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        c_ = 1024
+        y = TBatchNorm(1.0, self.snn, name="bn0")(x, training)
+        y = MemUpdate(act=False, snn=self.snn, name="act1")(y, training)
+        y = SnnConv(c_, 3, self.s, 1, name="conv1")(y)
+        y = TBatchNorm(0.2, self.snn, name="bn1")(y, training)
+        y = MemUpdate(act=False, snn=self.snn, name="act2")(y, training)
+        y = SnnConv(self.c2, 3, 1, 1, name="conv2")(y)
+        if self.s != 1 or c1 != self.c2:
+            sc = max_pool_t(x, self.s)
+            sc = TBatchNorm(1.0, self.snn, name="sc_bn")(sc, training)
+            sc = MemUpdate(act=False, snn=self.snn, name="sc_act")(sc, training)
+            sc = SnnConv(self.c2, 1, 1, name="sc_conv")(sc)
+        else:
+            sc = x
+        return y + sc
+
+
+class BasicBlock_1m(nn.Module):
+    """MS residual with a RepConv entry (reference BasicBlock_1m,
+    models/common.py:1117-1143): RepConv(c1 -> 1024, stride) -> spike ->
+    3x3 -> BN1; shortcut = maxpool -> spike -> 1x1 -> BN."""
+
+    c2: int
+    s: int = 1
+    e: float = 0.5  # positional YAML-compat slot (reference, unused)
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        c_ = 1024
+        y = RepConv(c_, 3, self.s, snn=self.snn, name="rep")(x, training)
+        y = MemUpdate(act=False, snn=self.snn, name="act2")(y, training)
+        y = SnnConv(self.c2, 3, 1, 1, name="conv2")(y)
+        y = TBatchNorm(0.2, self.snn, name="bn2")(y, training)
+        if self.s != 1 or c1 != self.c2:
+            sc = max_pool_t(x, self.s)
+            sc = MemUpdate(act=False, snn=self.snn, name="sc_act")(sc, training)
+            sc = SnnConv(self.c2, 1, 1, name="sc_conv")(sc)
+            sc = TBatchNorm(1.0, self.snn, name="sc_bn")(sc, training)
+        else:
+            sc = x
+        return y + sc
 
 
 class GN(nn.Module):

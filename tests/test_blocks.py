@@ -38,6 +38,7 @@ SINGLE_INPUT = {
     "BottleneckCSP": ((24, 1), 24),
     "C3": ((24, 1), 24),
     "C3Ghost": ((24, 1), 24),
+    "C3SPP": ((24, (3, 5)), 24),
     "C2f": ((24, 1), 24),
     "SPP": ((24,), 24),
     "SPPF": ((24,), 24),
@@ -214,6 +215,7 @@ def test_gsconv_shuffle_deinterleaves():
 STAR_INPUT = {
     "StarBlock": ((24, 3, 2), 24),
     "StarBlock_1": ((24, 3, 2), 24),
+    "StarBlock_1s": ((24, 3, 2), 24),
     "StarBlock_3": ((24, 3, 2), 24),
     "MStarBlock": ((16, 3, 1), 16),
 }

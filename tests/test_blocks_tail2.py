@@ -182,6 +182,31 @@ class TestC2fHybrids:
         assert y.shape == (2, 1, 4, 4, 16)
 
 
+class TestBasicBlock1Variants:
+    """BasicBlock_1n (pre-BN entry, no final BN, reference :1082) and
+    BasicBlock_1m (RepConv entry, reference :1117)."""
+
+    @pytest.mark.parametrize("cls", [T2.BasicBlock_1n, T2.BasicBlock_1m])
+    @pytest.mark.parametrize("s", [1, 2])
+    def test_shapes(self, cls, s):
+        x = rnd(2, 1, 8, 8, 8)
+        y, _ = run(cls(16, s=s, snn=SNN), x)
+        hw = 8 // s
+        assert y.shape == (2, 1, hw, hw, 16)
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_1n_identity_shortcut_has_no_sc_params(self):
+        x = rnd(2, 1, 4, 4, 16)
+        _, v = run(T2.BasicBlock_1n(16, s=1, snn=SNN), x)
+        assert not any(k.startswith("sc_") for k in v["params"])
+
+    def test_1m_uses_repconv_double_branch(self):
+        x = rnd(2, 1, 4, 4, 8)
+        _, v = run(T2.BasicBlock_1m(16, s=1, snn=SNN), x)
+        rep = v["params"]["rep"]
+        assert "conv1" in rep and "conv2" in rep  # 3x3 + 1x1 branches
+
+
 class TestStarFamily:
     @pytest.mark.parametrize("cls", [ST.StarBlock_4, ST.StarBlock_5])
     def test_downsample(self, cls):
