@@ -22,11 +22,16 @@ def create(
     snn: Optional[SNNConfig] = None,
     use_ema: bool = True,
     seed: int = 0,
+    autoshape: bool = False,
+    names: Optional[Sequence[str]] = None,
+    imgsz: int = 640,
 ):
     """Build a model and (optionally) load a checkpoint.
 
     Returns (BuiltModel, variables).  With `weights` pointing at a torch
-    `.pt`, routes through the torch importer.
+    `.pt`, routes through the torch importer.  With ``autoshape=True``,
+    returns an :class:`~ecs_yolo_tpu.autoshape.AutoShape` wrapper instead
+    (reference hubconf.py:29 applying AutoShape to the created model).
     """
     model = build_model(cfg, nc=nc, snn=snn)
     variables = model.init(jax.random.PRNGKey(seed), imgsz=64)
@@ -48,6 +53,10 @@ def create(
                 "params": params,
                 "batch_stats": tree.get("batch_stats", {}),
             }
+    if autoshape:
+        from .autoshape import AutoShape
+
+        return AutoShape(model, variables, names=names, size=imgsz)
     return model, variables
 
 

@@ -187,6 +187,7 @@ EXTRA_BLOCKS = {
     "ASFF2": BX.ASFF2,
     "ASFF3": BX.ASFF3,
     "ContextGuideFusionModule": BT.ContextGuideFusionModule,
+    "ContextGuideFusionModulev2": BT.ContextGuideFusionModulev2,
     "HGBlock": BT.HGBlock,
     "Sum": BE.Sum,
 }
@@ -196,6 +197,7 @@ SNN_AWARE = (
     | {"mem_update", "Conv_7", "AIFI", "EMA", "DSSA", "SELayer",
        "CBLinear", "ASFF2", "ASFF3", "FasterNetBlock", "ELA", "CoT",
        "ScConv", "HGBlock", "ContextGuideFusionModule",
+       "ContextGuideFusionModulev2",
        "Attention", "OSRAAttention", "DynamicConv2d",
        "TransxnetHybridTokenMixer"}
     | set(HEADS)
@@ -274,7 +276,7 @@ def parse_model(
             args = [tuple(args[0]) if args else ()]
         elif name in ("ASFF2", "ASFF3"):
             c2 = chs[f[args[0]]] if isinstance(f, (list, tuple)) else chs[f]
-        elif name == "ContextGuideFusionModule":
+        elif name in ("ContextGuideFusionModule", "ContextGuideFusionModulev2"):
             c2 = 2 * chs[f[1]]
         elif name == "Sum":
             c2 = chs[f[0]]

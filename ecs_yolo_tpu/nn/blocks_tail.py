@@ -675,6 +675,33 @@ class ContextGuideFusionModule(nn.Module):
         return jnp.concatenate([x0 + x1 * w1, x1 + x0 * w0], axis=-1)
 
 
+class ContextGuideFusionModulev2(nn.Module):
+    """v2 of the cross-gated fusion (reference ContextGuideFusionModulev2,
+    :1791-1819): EMA attention replaces ELA for the gate, plus a shared-conv
+    multiplicative interaction term ``ans = conv(w0) * conv(w1)`` added to
+    both halves of the output concat."""
+
+    dim: Any = None  # positional YAML-compat slot (concat-dim arg, unused)
+    snn: SNNConfig = DEFAULT_SNN
+
+    @nn.compact
+    def __call__(self, xs, training: bool = False):
+        from .blocks_ext import EMAAttention
+
+        x0, x1 = xs
+        c = x1.shape[-1]
+        if x0.shape[-1] != c:
+            x0 = SnnConv(c, 1, use_bias=True, name="adjust")(x0)
+        cat = jnp.concatenate([x0, x1], axis=-1)
+        se = EMAAttention(snn=self.snn, name="se")(cat, training)
+        w0, w1 = jnp.split(se, 2, axis=-1)
+        conv = SnnConv(c, 3, 1, 1, use_bias=True, name="convs")
+        ans = conv(w0) * conv(w1)
+        return jnp.concatenate(
+            [x0 + x1 * w1 + ans, x1 + x0 * w0 + ans], axis=-1
+        )
+
+
 class TransformerBlock(nn.Module):
     """ViT-style block stack on flattened tokens (reference :2505-2552),
     spiking activations over the true T axis."""

@@ -113,6 +113,17 @@ def test_context_guide_fusion():
     assert y.shape[-1] == 16
 
 
+def test_context_guide_fusion_v2():
+    """v2 (reference :1791): EMA gate + shared-conv interaction term."""
+    mod = _make("ContextGuideFusionModulev2", ())
+    x1 = jnp.asarray(np.random.RandomState(7).randn(T, N, H, W, 8), jnp.float32)
+    v = mod.init(KEY, [X, x1], training=False)
+    y = mod.apply(v, [X, x1], training=False)
+    assert y.shape[-1] == 16
+    assert "convs" in v["params"] and "se" in v["params"]
+    assert bool(jnp.isfinite(y).all())
+
+
 def test_hgblock():
     mod = _make("HGBlock", (8, 24, 3, 2))
     v = mod.init(KEY, X, training=False)
