@@ -70,6 +70,8 @@ def _greedy_nms(boxes, scores, iou_thres: float, max_det: int):
         "max_det",
         "max_nms",
         "has_obj",
+        "merge",
+        "redundant",
     ),
 )
 def non_max_suppression(
@@ -81,6 +83,8 @@ def non_max_suppression(
     max_det: int = 300,
     max_nms: int = 4096,
     has_obj: bool = True,
+    merge: bool = False,
+    redundant: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched fixed-shape NMS.
 
@@ -88,6 +92,10 @@ def non_max_suppression(
       prediction: v1 layout ``[B, A, 5+nc]`` (xywh, obj, cls...) when
         ``has_obj``; DFL layout ``[B, 4+nc, A]`` (xywh pixels, cls...) when
         not (that path transposes internally).
+      merge: merge-NMS (reference utils/general.py:727-732) — each kept box
+        becomes the score-weighted mean of overlapping same-class
+        candidates; with ``redundant`` a kept box needs >= 1 supporting
+        overlap or it is dropped.
 
     Returns:
       out: [B, max_det, 6] — x1, y1, x2, y2, conf, cls (padded with zeros)
@@ -128,9 +136,39 @@ def non_max_suppression(
         off_boxes = cand_boxes + (c_idx * offset)[:, None]
         keep_idx, keep_scores = _greedy_nms(off_boxes, live, iou_thres, max_det)
         ok = keep_scores > conf_thres
+        kept_boxes = cand_boxes[keep_idx]
+        if merge:
+            # weighted-mean merge over the class-offset candidate pool
+            # (reference utils/general.py:727-732): weights = IoU-overlap
+            # mask x candidate score
+            kept_off = off_boxes[keep_idx]
+            area_c = jnp.clip(off_boxes[:, 2] - off_boxes[:, 0], 0) * jnp.clip(
+                off_boxes[:, 3] - off_boxes[:, 1], 0
+            )
+            area_k = jnp.clip(kept_off[:, 2] - kept_off[:, 0], 0) * jnp.clip(
+                kept_off[:, 3] - kept_off[:, 1], 0
+            )
+            inter = jnp.clip(
+                jnp.minimum(kept_off[:, None, 2], off_boxes[None, :, 2])
+                - jnp.maximum(kept_off[:, None, 0], off_boxes[None, :, 0]), 0
+            ) * jnp.clip(
+                jnp.minimum(kept_off[:, None, 3], off_boxes[None, :, 3])
+                - jnp.maximum(kept_off[:, None, 1], off_boxes[None, :, 1]), 0
+            )
+            iou = inter / (area_k[:, None] + area_c[None] - inter + 1e-7)
+            # only conf-passing candidates participate (the reference's x
+            # pool is already conf-filtered)
+            overlap = (iou > iou_thres) & valid[None]  # [max_det, M]
+            w = overlap * jnp.clip(top, 0.0)[None]
+            merged = (w @ cand_boxes) / jnp.maximum(
+                w.sum(-1, keepdims=True), 1e-9
+            )
+            kept_boxes = jnp.where(ok[:, None], merged, kept_boxes)
+            if redundant:
+                ok = ok & (overlap.sum(-1) > 1)
         out = jnp.concatenate(
             [
-                cand_boxes[keep_idx],
+                kept_boxes,
                 jnp.where(ok, keep_scores, 0.0)[:, None],
                 c_idx[keep_idx][:, None],
             ],

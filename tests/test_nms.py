@@ -109,6 +109,51 @@ class TestNMS:
         # no duplicated rows
         assert len(np.unique(kept.round(3), axis=0)) == 2
 
+    def test_merge_nms_matches_oracle(self):
+        """merge=True (reference utils/general.py:727-732): kept boxes become
+        the score-weighted mean of overlapping candidates; with redundancy a
+        kept box needs a supporting overlap."""
+        rng = np.random.RandomState(3)
+        pred = random_pred(rng, a=120, nc=3)
+        conf_t, iou_t = 0.25, 0.5
+        out, valid = non_max_suppression(
+            jnp.asarray(pred), conf_thres=conf_t, iou_thres=iou_t,
+            max_det=20, merge=True,
+        )
+        out, valid = np.asarray(out), np.asarray(valid)
+
+        for bi in range(pred.shape[0]):
+            x = pred[bi]
+            scores_all = x[:, 5:] * x[:, 4:5]
+            best = scores_all.max(-1)
+            cls = scores_all.argmax(-1)
+            boxes = np.asarray(xywh2xyxy(jnp.asarray(x[:, :4])))
+            off = boxes + cls[:, None] * 4096.0
+            ok_cand = best > conf_t
+            s = np.where(ok_cand, best, -1e9)
+            keep = np_greedy_nms(off, s, iou_t)[:20]
+            keep = [i for i in keep if best[i] > conf_t]
+            areas = (off[:, 2] - off[:, 0]).clip(0) * (
+                off[:, 3] - off[:, 1]).clip(0)
+            rows = []
+            for i in keep:
+                xx1 = np.maximum(off[i, 0], off[:, 0])
+                yy1 = np.maximum(off[i, 1], off[:, 1])
+                xx2 = np.minimum(off[i, 2], off[:, 2])
+                yy2 = np.minimum(off[i, 3], off[:, 3])
+                inter = (xx2 - xx1).clip(0) * (yy2 - yy1).clip(0)
+                iou = inter / (areas[i] + areas - inter + 1e-7)
+                overlap = (iou > iou_t) & ok_cand
+                if overlap.sum() <= 1:  # redundant filter
+                    continue
+                w = overlap * best
+                merged = (w @ boxes) / w.sum()
+                rows.append(np.concatenate([merged, [best[i], cls[i]]]))
+            got = out[bi][valid[bi]]
+            want = np.stack(rows) if rows else np.zeros((0, 6))
+            assert got.shape == want.shape, (got.shape, want.shape)
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
     def test_agnostic_suppresses_across_classes(self):
         # two identical boxes, different classes: agnostic keeps 1, per-class 2
         pred = np.zeros((1, 2, 5 + 3), dtype=np.float32)
