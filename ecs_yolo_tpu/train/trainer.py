@@ -131,6 +131,7 @@ def make_train_step(
     sr_total_steps: int = 0,
     accumulate: int = 1,
     with_masks: bool = False,
+    jit: bool = True,
 ):
     """Build the jitted train step.  Batch: (images [B,H,W,C] float 0-1,
     targets [B,M,5], mask [B,M]).  `sr > 0` enables network-slimming BN-L1
@@ -208,4 +209,8 @@ def make_train_step(
         new_state = TrainState(params, new_bs, opt_state, ema_params, step)
         return new_state, {"loss": total, "items": items}
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    # jit=False returns the raw step for composition inside a larger jit
+    # (e.g. scripts/bench_train_step.py chains steps in-graph: per-call
+    # host->TPU dispatch through the axon tunnel is comparable to the step
+    # itself and would dominate host-side timing)
+    return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn

@@ -24,6 +24,9 @@ import os
 
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
 IMGSZ = int(os.environ.get("BENCH_IMGSZ", 640))
+CFG = os.environ.get("BENCH_CFG", "resnet34.yaml")  # resnet10.yaml matches
+NC = int(os.environ.get("BENCH_NC", 80))            # the reference's wandb
+                                                    # run (BDD100K nc=13)
 HYP = dict(
     box=0.05, obj=1.0, cls=0.5, cls_pw=1.0, obj_pw=1.0, anchor_t=4.0,
     fl_gamma=0.0, label_smoothing=0.0, slide_ratio=0.0,
@@ -35,7 +38,7 @@ remat_all = mode.endswith("_remat") or mode.endswith("_full")
 remat_neuron = mode.endswith("_neuron")
 
 snn = SNNConfig(time_window=4, remat_neuron=remat_neuron)
-model = build_model("resnet34.yaml", nc=80, snn=snn, remat=remat_all)
+model = build_model(CFG, nc=NC, snn=snn, remat=remat_all)
 variables = model.init(jax.random.PRNGKey(0), imgsz=64)
 tx = build_optimizer(variables["params"], epochs=3, steps_per_epoch=10)
 state = create_train_state(variables, tx)
@@ -53,17 +56,52 @@ ITERS = 6
 xs = [jnp.asarray(rng.rand(BATCH, IMGSZ, IMGSZ, 3), jnp.float32)
       for _ in range(ITERS)]
 
-print(f"mode={mode}: compiling...", flush=True)
-t0 = time.perf_counter()
-state, metrics = step(state, xs[0], tgt, msk)
-jax.block_until_ready(metrics)
-print(f"first step (compile) {time.perf_counter() - t0:.1f}s "
-      f"loss={float(metrics['loss']):.3f}", flush=True)
+if os.environ.get("BENCH_INGRAPH", "1") == "1":
+    # In-graph timing: chain steps inside ONE jit via lax.scan (state
+    # threads through, distinct inputs per step) and difference two trip
+    # counts — per-call dispatch through the axon tunnel is comparable to
+    # a step itself and dominates host-side loops (docs/DESIGN.md round-2).
+    raw = make_train_step(model, tx, HYP, compute_dtype=dtype, jit=False)
+    xstack = jnp.stack(xs)
 
-t0 = time.perf_counter()
-for xi in xs:
-    state, metrics = step(state, xi, tgt, msk)
-jax.block_until_ready(metrics)
-dt = time.perf_counter() - t0
-print(f"{mode}: {BATCH * ITERS / dt:.2f} img/s  ({dt / ITERS * 1000:.0f} "
-      f"ms/step)", flush=True)
+    @jax.jit
+    def chained(state, xsk):
+        def body(st, x):
+            st2, m = raw(st, x, tgt, msk)
+            return st2, m["loss"]
+
+        st, losses = jax.lax.scan(body, state, xsk)
+        return losses
+
+    print(f"mode={mode}: compiling (in-graph scan)...", flush=True)
+    for k in (1, ITERS + 1):
+        xsk = jnp.concatenate([xstack] * ((k + ITERS - 1) // ITERS))[:k]
+        t0 = time.perf_counter()
+        losses = jax.block_until_ready(chained(state, xsk))
+        t = time.perf_counter() - t0
+        print(f"trip {k}: {t:.2f}s loss0={float(losses[0]):.3f}", flush=True)
+        # second call on the compiled graph for the timed run
+        t0 = time.perf_counter()
+        jax.block_until_ready(chained(state, xsk))
+        if k == 1:
+            t1 = time.perf_counter() - t0
+        else:
+            tn = time.perf_counter() - t0
+    dt = (tn - t1) / ITERS
+    print(f"{mode}: {BATCH / dt:.2f} img/s  ({dt * 1000:.0f} ms/step, "
+          "in-graph)", flush=True)
+else:
+    print(f"mode={mode}: compiling...", flush=True)
+    t0 = time.perf_counter()
+    state, metrics = step(state, xs[0], tgt, msk)
+    jax.block_until_ready(metrics)
+    print(f"first step (compile) {time.perf_counter() - t0:.1f}s "
+          f"loss={float(metrics['loss']):.3f}", flush=True)
+
+    t0 = time.perf_counter()
+    for xi in xs:
+        state, metrics = step(state, xi, tgt, msk)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    print(f"{mode}: {BATCH * ITERS / dt:.2f} img/s  ({dt / ITERS * 1000:.0f} "
+          f"ms/step)", flush=True)
