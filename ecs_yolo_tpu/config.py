@@ -53,6 +53,15 @@ class SNNConfig:
     # docs/DESIGN.md round-3.  OFF the hot path; kept for packed-segment
     # experiments.
     packed_spread: bool = False
+    # SEGMENT-level width packing (round-3 part 2): keep the entire C<=64
+    # stage of the model in the width-packed [.., W//2, 2C] layout — the
+    # stem conv emits packed directly (pack folded into its stride), every
+    # conv/BN/neuron in the stage runs packed (full 128 MXU lanes), and the
+    # stage's stride-2 exit conv consumes packed directly.  Fixes the
+    # per-site relayout cost that sank `packed_spread`: measured 1.81x on
+    # the isolated C=64 segment (scripts/bench_packed_segment.py).  Exact
+    # same math; canonical parameters (checkpoints are layout-agnostic).
+    packed_c64: bool = True
     # selective rematerialization: checkpoint ONLY the neuron recurrences
     # (the T-step scan materializes ~3 state tensors per step per site for
     # the backward — the dominant training-memory term).  Much cheaper to

@@ -319,6 +319,92 @@ def parse_model(
 # module construction
 # ---------------------------------------------------------------------------
 
+# Blocks that participate in width-packed C<=64 stages (SNNConfig.packed_c64):
+# Conv_1 can START a stage (stem emits packed), BasicBlock_2 can run packed
+# and END a stage via its stride-2 conv1.  See snn/packed_spread.py.
+_PACK_F = 2
+
+
+def _plan_packing(rows, chs, enabled: bool):
+    """Per-layer (packed_in, packed_out) width-pack factors.
+
+    A layer's output is packed iff it is a Conv_1/BasicBlock_2 with
+    c2*_PACK_F <= 128 and EVERY consumer is a BasicBlock_2 that can accept
+    the packed layout (staying packed, or exiting through its stride-2
+    conv1).  Computed as a shrinking fixed point so an unpackable consumer
+    anywhere unpacks the whole upstream chain rather than inserting
+    relayouts (the relayouts are what made per-site packing a net loss).
+    """
+    n = len(rows)
+    plan = [(1, 1)] * n
+    if not enabled or n == 0:
+        return tuple(plan)
+
+    def block_ks(j):
+        args = rows[j][3]
+        k = args[1] if len(args) > 1 else 3
+        s = args[2] if len(args) > 2 else 1
+        return k, s
+
+    def src_of(j):
+        f = rows[j][0]
+        if not isinstance(f, int):
+            return None
+        return (j - 1) if f == -1 else f % j
+
+    consumers = [[] for _ in range(n)]
+    for j in range(1, n):
+        f = rows[j][0]
+        for s_ in [f] if isinstance(f, int) else f:
+            src = (j - 1) if s_ == -1 else s_ % j
+            consumers[src].append(j)
+
+    out = []
+    for i in range(n):
+        name = rows[i][2]
+        ok = (
+            name in ("Conv_1", "BasicBlock_2")
+            and chs[i] * _PACK_F <= 128
+            and consumers[i]
+        )
+        if ok and name == "BasicBlock_2":
+            k, s = block_ks(i)
+            c1 = chs[src_of(i)] if i > 0 else None
+            # packed interior block: k in (1,3); identity shortcut needs
+            # matching channels at s=1; strided needs s == _PACK_F
+            ok = k in (1, 3) and (s == _PACK_F or (s == 1 and c1 == chs[i]))
+        out.append(bool(ok))
+
+    def accepts_packed(j):
+        if rows[j][2] != "BasicBlock_2" or not isinstance(rows[j][0], int):
+            return False
+        k, s = block_ks(j)
+        if out[j]:
+            return True  # stays packed (validated above)
+        return k in (1, 3) and s == _PACK_F  # free packed->unpacked exit
+
+    changed = True
+    while changed:
+        changed = False
+        for i in range(n):
+            if not out[i]:
+                continue
+            if not all(accepts_packed(j) for j in consumers[i]):
+                out[i] = False
+                changed = True
+            elif rows[i][2] == "BasicBlock_2":
+                src = src_of(i)
+                if src is None or not out[src]:
+                    out[i] = False
+                    changed = True
+
+    for j in range(n):
+        src = src_of(j)
+        f_in = _PACK_F if (src is not None and out[src]) else 1
+        f_out = _PACK_F if out[j] else 1
+        plan[j] = (f_in, f_out)
+    return tuple(plan)
+
 
 class _Repeat(nn.Module):
     """n sequential copies of a block (reference nn.Sequential repeat)."""
@@ -327,17 +413,20 @@ class _Repeat(nn.Module):
     args: Tuple
     n: int
     snn: SNNConfig
+    packing: Tuple[int, int] = (1, 1)
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        f_in, f_out = self.packing
         for j in range(self.n):
-            x = _construct(self.name_, self.args, self.snn, mod_name=str(j))(
-                x, training=training
-            )
+            pk = (f_in if j == 0 else f_out, f_out)
+            x = _construct(self.name_, self.args, self.snn, mod_name=str(j),
+                           packing=pk)(x, training=training)
         return x
 
 
-def _construct(name: str, args: Tuple, snn: SNNConfig, mod_name=None):
+def _construct(name: str, args: Tuple, snn: SNNConfig, mod_name=None,
+               packing=(1, 1)):
     cls = (
         C2_BLOCKS.get(name)
         or PASS_BLOCKS.get(name)
@@ -349,18 +438,23 @@ def _construct(name: str, args: Tuple, snn: SNNConfig, mod_name=None):
         kwargs["snn"] = snn
     if mod_name is not None:
         kwargs["name"] = mod_name
+    if packing != (1, 1):
+        if name == "Conv_1":
+            kwargs["packed_out"] = packing[1]
+        elif name == "BasicBlock_2":
+            kwargs["packed_in"], kwargs["packed_out"] = packing
     return cls(*args, **kwargs)
 
 
-def _make_layer(row, snn: SNNConfig, remat: bool = False):
+def _make_layer(row, snn: SNNConfig, remat: bool = False, packing=(1, 1)):
     f, n, name, args = row
     if name == "Concat":
         cls_args = dict()
         mod = B.Concat()
     elif n > 1:
-        mod = _Repeat(name_=name, args=args, n=n, snn=snn)
+        mod = _Repeat(name_=name, args=args, n=n, snn=snn, packing=packing)
     else:
-        mod = _construct(name, args, snn)
+        mod = _construct(name, args, snn, packing=packing)
     if remat and name not in HEADS:
         # rematerialize activations during backward (jax.checkpoint): trades
         # ~FLOPs for HBM so T=4 training fits (the reference has no answer
@@ -386,10 +480,13 @@ class DetectionModel(nn.Module):
     save: Tuple[int, ...]
     snn: SNNConfig = DEFAULT_SNN
     remat: bool = False
+    packing: Tuple = ()  # per-layer (packed_in, packed_out), from _plan_packing
 
     def setup(self):
+        packing = self.packing or ((1, 1),) * len(self.spec)
         self.layers = [
-            _make_layer(row, self.snn, self.remat) for row in self.spec
+            _make_layer(row, self.snn, self.remat, pk)
+            for row, pk in zip(self.spec, packing)
         ]
 
     def prepare_input(self, x: jax.Array) -> jax.Array:
@@ -509,9 +606,12 @@ def build_model(
         raise ValueError("model YAML has no detection head")
     hname, hidx = head_info["name"], head_info["index"]
 
+    packing = _plan_packing(spec, chs, snn.packed_c64)
+
     # phase 1: placeholder strides for the abstract probe
     probe_spec = _with_head_args(spec, hidx, hname, head_info, strides=None, probe=True)
-    probe_model = DetectionModel(spec=probe_spec, save=save, snn=snn)
+    probe_model = DetectionModel(spec=probe_spec, save=save, snn=snn,
+                                 packing=packing)
     key = jax.random.PRNGKey(0)
 
     def _probe():
@@ -526,7 +626,8 @@ def build_model(
 
     # phase 2: final spec with real strides (+ grid-unit anchors for v1)
     final_spec = _with_head_args(spec, hidx, hname, head_info, strides=strides)
-    model = DetectionModel(spec=final_spec, save=save, snn=snn, remat=remat)
+    model = DetectionModel(spec=final_spec, save=save, snn=snn, remat=remat,
+                           packing=packing)
     return BuiltModel(model, d, final_spec, save, head_info, strides, snn)
 
 

@@ -42,11 +42,68 @@ def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+class _PackedConvCore(nn.Module):
+    """Width-packed conv that owns the CANONICAL kernel (same param path,
+    shape and init as the plain ``nn.Conv`` it replaces) and rewrites it at
+    apply time for the packed layout — stem entry (unpacked->packed),
+    interior (packed->packed) or stage exit (packed->unpacked).  See
+    snn/packed_spread.py for the index algebra.
+    """
+
+    c2: int
+    k: Tuple[int, int]
+    s: int
+    ci: int            # canonical input channels
+    use_bias: bool
+    packed_in: int
+    packed_out: int
+
+    @nn.compact
+    def __call__(self, y: jax.Array) -> jax.Array:
+        from ..snn.packed_spread import (
+            pack_conv_kernel,
+            pack_exit_kernel,
+            pack_stem_kernel,
+        )
+
+        kh, kw = self.k
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (kh, kw, self.ci, self.c2)
+        )
+        f_in, f_out, s = self.packed_in, self.packed_out, self.s
+        if f_in == 1:      # stem entry: unpacked -> packed
+            K, ws, wpad = pack_stem_kernel(kernel, f_out, s)
+        elif f_out > 1:    # interior: packed -> packed
+            assert f_in == f_out, (f_in, f_out)
+            K, ws, wpad = pack_conv_kernel(kernel, f_in, s)
+        else:              # stage exit: packed -> unpacked (needs s == f)
+            assert s == f_in, (s, f_in)
+            K, ws, wpad = pack_exit_kernel(kernel, f_in)
+        out = jax.lax.conv_general_dilated(
+            y,
+            K.astype(y.dtype),
+            (s, ws),
+            [(kh // 2, kh // 2), wpad],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", make_bias_init(self.ci * kh * kw), (self.c2,)
+            )
+            b = jnp.tile(bias, f_out) if f_out > 1 else bias
+            out = out + b.astype(out.dtype)
+        return out
+
+
 class SnnConv(nn.Module):
     """Conv2d over [T,N,H,W,C] with T folded into batch.
 
     Equivalent of the reference ``Snn_Conv2d`` (models/common.py:593-624)
     minus its per-timestep Python loop.
+
+    ``packed_in``/``packed_out`` (width-pack factors, 1 = off) select the
+    packed-layout path: the canonical parameters are unchanged, only the
+    applied kernel is rewritten (checkpoints are layout-agnostic).
     """
 
     c2: int
@@ -57,26 +114,40 @@ class SnnConv(nn.Module):
     use_bias: bool = False
     dilation: int = 1
     kernel_init: Any = None  # override (e.g. zeros for AKConv offsets)
+    packed_in: int = 1
+    packed_out: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k = _pair(self.k)
-        p = autopad(self.k, self.p)
-        p = _pair(p)
-        pad = [(p[0], p[0]), (p[1], p[1])]
-        fan_in = (x.shape[-1] // self.g) * k[0] * k[1]
-        conv = nn.Conv(
-            features=self.c2,
-            kernel_size=k,
-            strides=_pair(self.s),
-            padding=pad,
-            feature_group_count=self.g,
-            use_bias=self.use_bias,
-            kernel_dilation=_pair(self.dilation),
-            kernel_init=self.kernel_init or torch_conv_kernel_init,
-            bias_init=make_bias_init(fan_in),
-            name="conv",
-        )
+        if self.packed_in > 1 or self.packed_out > 1:
+            # packed mode supports the EMS-stage shapes only
+            assert self.g == 1 and self.dilation == 1, "packed: g=1, d=1 only"
+            p = _pair(autopad(self.k, self.p))
+            assert p == (k[0] // 2, k[1] // 2), "packed: torch-'same' only"
+            ci = x.shape[-1] // self.packed_in
+            conv = _PackedConvCore(
+                c2=self.c2, k=k, s=_pair(self.s)[0], ci=ci,
+                use_bias=self.use_bias, packed_in=self.packed_in,
+                packed_out=self.packed_out, name="conv",
+            )
+        else:
+            p = autopad(self.k, self.p)
+            p = _pair(p)
+            pad = [(p[0], p[0]), (p[1], p[1])]
+            fan_in = (x.shape[-1] // self.g) * k[0] * k[1]
+            conv = nn.Conv(
+                features=self.c2,
+                kernel_size=k,
+                strides=_pair(self.s),
+                padding=pad,
+                feature_group_count=self.g,
+                use_bias=self.use_bias,
+                kernel_dilation=_pair(self.dilation),
+                kernel_init=self.kernel_init or torch_conv_kernel_init,
+                bias_init=make_bias_init(fan_in),
+                name="conv",
+            )
         if x.ndim == 5:
             y, t = fold_t(x)
             return unfold_t(conv(y), t)
@@ -94,18 +165,30 @@ class TBatchNorm(nn.Module):
 
     gamma_scale: float = 1.0
     snn: SNNConfig = DEFAULT_SNN
+    packed: int = 1  # width-pack factor of the input layout (1 = off)
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         gamma0 = self.gamma_scale * self.snn.thresh
+        if self.packed > 1:
+            bn = _PackedBN(
+                c=x.shape[-1] // self.packed, f=self.packed, gamma0=gamma0,
+                name="bn",
+            )
+            in_dtype = x.dtype
+            if x.ndim == 5:
+                y, t = fold_t(x)
+                return unfold_t(bn(y, training).astype(in_dtype), t)
+            return bn(x, training).astype(in_dtype)
         bn = nn.BatchNorm(
             use_running_average=not training,
             momentum=0.9,
             epsilon=1e-5,
-            # statistics/normalization in fp32 even under bf16 compute —
+            # statistics/normalization in >= fp32 even under bf16 compute —
             # torch AMP keeps BN in fp32 for the same reason (the reference
             # trains under autocast, train.py:553); running stats stay fp32
-            dtype=jnp.float32,
+            # (promote, not pin, so float64 parity tests stay in f64)
+            dtype=jnp.promote_types(x.dtype, jnp.float32),
             scale_init=nn.initializers.constant(gamma0),
             bias_init=nn.initializers.zeros,
             name="bn",
@@ -115,6 +198,59 @@ class TBatchNorm(nn.Module):
             y, t = fold_t(x)
             return unfold_t(bn(y).astype(in_dtype), t)
         return bn(x).astype(in_dtype)
+
+
+class _PackedBN(nn.Module):
+    """BatchNorm over the width-packed layout with CANONICAL [C] parameters
+    and running stats (same paths/shapes as the ``nn.BatchNorm`` it
+    replaces — checkpoints are layout-agnostic).
+
+    Exactness: the f phase blocks hold disjoint halves of the same original
+    channel's values with equal counts, so the canonical batch moments are
+    the mean of the per-phase moments — identical values to unpacked BN, no
+    unpack relayout of the data tensor.  Mirrors flax BatchNorm semantics
+    (biased variance, momentum-0.9 running update, fp32 statistics).
+    """
+
+    c: int
+    f: int
+    gamma0: float
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, y: jax.Array, training: bool) -> jax.Array:
+        scale = self.param(
+            "scale", nn.initializers.constant(self.gamma0), (self.c,),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.c,), jnp.float32)
+        )
+        yf = y.astype(jnp.promote_types(y.dtype, jnp.float32))
+        axes = tuple(range(y.ndim - 1))
+        if training:
+            m = jnp.mean(yf, axis=axes).reshape(self.f, self.c).mean(0)
+            m2 = jnp.mean(
+                jnp.square(yf), axis=axes
+            ).reshape(self.f, self.c).mean(0)
+            v = m2 - jnp.square(m)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * m
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * v
+                )
+        else:
+            m, v = ra_mean.value, ra_var.value
+        mt, vt = jnp.tile(m, self.f), jnp.tile(v, self.f)
+        st, bt = jnp.tile(scale, self.f), jnp.tile(bias, self.f)
+        return (yf - mt) * st * jax.lax.rsqrt(vt + self.eps) + bt
 
 
 class MemUpdate(nn.Module):
@@ -127,15 +263,17 @@ class MemUpdate(nn.Module):
 
     act: bool = False
     snn: SNNConfig = DEFAULT_SNN
+    packed: int = 1  # width-pack factor of the input layout (1 = off)
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         if not self.snn.ecs:
+            # plain LIF is elementwise — layout-invariant, packed or not
             scan = (jax.checkpoint(lif_scan, static_argnums=(1, 2))
                     if self.snn.remat_neuron else lif_scan)
             return scan(x, self.snn, self.act)
 
-        c = x.shape[-1]
+        c = x.shape[-1] // self.packed
         dw_fan_in = 9  # depthwise: fan_in = k*k * (C/groups=1)
         pw_fan_in = c
         dw_kernel = self.param(
@@ -166,6 +304,20 @@ class MemUpdate(nn.Module):
 
         def _scan(x, dwk, dwbias, pwk, pwbias):
             dtype = x.dtype
+
+            if self.packed > 1:
+                # segment-packed mode: input is ALREADY width-packed by the
+                # enclosing stage (models/yolo._plan_packing) — run the
+                # whole recurrence packed, no relayout here at all
+                kp, bp = build_packed_spread(
+                    dwk, dwbias, pwk, pwbias, self.packed
+                )
+                return ecs_lif_scan(
+                    x,
+                    packed_spread_fn(kp.astype(dtype), bp.astype(dtype)),
+                    self.snn,
+                    act=self.act,
+                )
 
             if f >= 2:
                 kp, bp = build_packed_spread(dwk, dwbias, pwk, pwbias, f)
@@ -228,6 +380,22 @@ def max_pool_t(x: jax.Array, s: int) -> jax.Array:
     y, t = fold_t(x)
     y = nn.max_pool(y, window_shape=(s, s), strides=(s, s))
     return unfold_t(y, t)
+
+
+def max_pool_t_packed(x: jax.Array, s: int, f: int) -> jax.Array:
+    """``max_pool_t`` on a width-packed input [T,N,H,W//f,f*C], returning the
+    UNPACKED pooled tensor [T,N,H//s,W//s,C].
+
+    For s == f the s-wide original-width window is exactly one packed
+    column's f phase blocks, so the width reduction is a free elementwise
+    max over channel halves; only the height pool touches the window.
+    """
+    assert s == f == 2, "packed pooling supports s == f == 2"
+    y, t = fold_t(x)
+    c = y.shape[-1] // f
+    m = jnp.maximum(y[..., :c], y[..., c:])
+    m = nn.max_pool(m, window_shape=(s, 1), strides=(s, 1))
+    return unfold_t(m, t)
 
 
 class ZeroPad(nn.Module):
@@ -328,7 +496,12 @@ class Conv_B(nn.Module):
 
 
 class Conv_1(nn.Module):
-    """conv -> BN, no activation — the stem of every EMS yaml (:409-425)."""
+    """conv -> BN, no activation — the stem of every EMS yaml (:409-425).
+
+    ``packed_out > 1`` makes the stem EMIT the width-packed layout directly
+    (pack folded into the conv's stride — zero relayout), starting a packed
+    C<=64 stage (see models/yolo._plan_packing).
+    """
 
     c2: int
     k: int = 1
@@ -337,11 +510,14 @@ class Conv_1(nn.Module):
     g: int = 1
     act_flag: Any = None  # positional YAML-compat slot (unused)
     snn: SNNConfig = DEFAULT_SNN
+    packed_out: int = 1
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        y = SnnConv(self.c2, self.k, self.s, self.p, self.g, name="conv")(x)
-        return TBatchNorm(1.0, self.snn, name="bn")(y, training)
+        y = SnnConv(self.c2, self.k, self.s, self.p, self.g,
+                    packed_out=self.packed_out, name="conv")(x)
+        return TBatchNorm(1.0, self.snn, packed=self.packed_out,
+                          name="bn")(y, training)
 
 
 class Conv_2(nn.Module):
@@ -513,22 +689,40 @@ class BasicBlock_2(nn.Module):
     s: int = 1
     add: Any = True  # positional YAML-compat slot (reference ``add``, unused)
     snn: SNNConfig = DEFAULT_SNN
+    packed_in: int = 1   # width-pack factor of the input layout
+    packed_out: int = 1  # width-pack factor of the output layout
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        c1 = x.shape[-1]
+        f_in, f_out = self.packed_in, self.packed_out
+        c1 = x.shape[-1] // f_in
         pad = 1 if self.k == 3 else 0
-        y = MemUpdate(act=False, snn=self.snn, name="act1")(x, training)
-        y = SnnConv(self.c2, self.k, self.s, pad, name="conv1")(y)
-        y = TBatchNorm(1.0, self.snn, name="bn1")(y, training)
-        y = MemUpdate(act=False, snn=self.snn, name="act2")(y, training)
-        y = SnnConv(self.c2, self.k, 1, pad, name="conv2")(y)
-        y = TBatchNorm(0.2, self.snn, name="bn2")(y, training)
+        y = MemUpdate(act=False, snn=self.snn, packed=f_in,
+                      name="act1")(x, training)
+        # conv1 is where a packed stage may END (packed->unpacked exit,
+        # free when s == f): packed_out drives everything downstream
+        y = SnnConv(self.c2, self.k, self.s, pad, packed_in=f_in,
+                    packed_out=f_out, name="conv1")(y)
+        y = TBatchNorm(1.0, self.snn, packed=f_out, name="bn1")(y, training)
+        y = MemUpdate(act=False, snn=self.snn, packed=f_out,
+                      name="act2")(y, training)
+        y = SnnConv(self.c2, self.k, 1, pad, packed_in=f_out,
+                    packed_out=f_out, name="conv2")(y)
+        y = TBatchNorm(0.2, self.snn, packed=f_out, name="bn2")(y, training)
         if self.s != 1 or c1 != self.c2:
-            sc = max_pool_t(x, self.s)
-            sc = MemUpdate(act=False, snn=self.snn, name="sc_act")(sc, training)
-            sc = SnnConv(self.c2, 1, 1, name="sc_conv")(sc)
-            sc = TBatchNorm(1.0, self.snn, name="sc_bn")(sc, training)
+            if f_in > 1:
+                sc = max_pool_t_packed(x, self.s, f_in)  # unpacked pooled
+            else:
+                sc = max_pool_t(x, self.s)
+            if f_out > 1:
+                from ..snn.packed_spread import pack_w
+                sc = pack_w(sc, f_out)  # one small relayout (pooled dims)
+            sc = MemUpdate(act=False, snn=self.snn, packed=f_out,
+                           name="sc_act")(sc, training)
+            sc = SnnConv(self.c2, 1, 1, packed_in=f_out, packed_out=f_out,
+                         name="sc_conv")(sc)
+            sc = TBatchNorm(1.0, self.snn, packed=f_out,
+                            name="sc_bn")(sc, training)
         else:
             sc = x
         return y + sc

@@ -88,3 +88,95 @@ def packed_spread_fn(kernel: jax.Array, bias: jax.Array):
         ) + bias.astype(s.dtype)
 
     return spread
+
+
+# ---------------------------------------------------------------------------
+# Segment-level packing: general conv-kernel packers (round-3, part 2).
+#
+# Per-site packing loses to the pack/unpack relayouts (docs/DESIGN.md
+# round-3), so the production path keeps the ENTIRE C<=64 stage of a model
+# packed: the stem conv EMITS packed layout directly, every conv/BN/neuron
+# inside the stage operates packed, and the stage's stride-2 exit conv
+# CONSUMES packed layout directly — zero relayouts except the cheap shortcut
+# repack at strided blocks.  The packers below rewrite a canonical conv
+# kernel for each of the three boundary cases; all are traced jnp ops, so
+# gradients flow to the canonical parameters and checkpoints stay
+# layout-agnostic.
+#
+# Index algebra (width axis only; heights are untouched): packed column w2,
+# phase q holds original column w = f*w2 + q.  A stride-s conv's output
+# (packed col w2, phase q) centers on original input col s*(f*w2+q), so its
+# tap dx lands at t = s*q + dx within packed input col s*w2 + t//f, input
+# phase t % f.
+# ---------------------------------------------------------------------------
+
+
+def pack_conv_kernel(full: jax.Array, f: int, s: int = 1):
+    """Pack kernel [kh, kw, ci, co] (odd kw, torch-'same') for packed input
+    AND packed output, stride ``s`` over original width.
+
+    Returns (K [kh, kw', f*ci, f*co], w_stride, (pad_l, pad_r)) —
+    w_stride = s over packed columns.
+    """
+    kh, kw, ci, co = full.shape
+    r = kw // 2
+    offs = sorted({(s * q + dx) // f for q in range(f) for dx in range(-r, r + 1)})
+    o_min, o_max = offs[0], offs[-1]
+    kwp = o_max - o_min + 1
+    K = jnp.zeros((kh, kwp, f * ci, f * co), full.dtype)
+    for q in range(f):
+        for dx in range(-r, r + 1):
+            t = s * q + dx
+            col, ph = t // f - o_min, t % f
+            K = K.at[:, col, ph * ci:(ph + 1) * ci, q * co:(q + 1) * co].add(
+                full[:, dx + r]
+            )
+    pad_l = -o_min
+    pad_r = max(0, kwp - s - pad_l)
+    return K, s, (pad_l, pad_r)
+
+
+def pack_exit_kernel(full: jax.Array, f: int):
+    """Pack kernel [kh, kw, ci, co] for a stride-``f`` conv that consumes
+    packed input and produces UNPACKED output — the packed stage's free
+    exit (e.g. the 3x3/s2 64->128 conv ending the C=64 stage).
+
+    Output col w' centers on original input col f*w'; tap dx lands in
+    packed col w' + dx//f, phase dx % f.  Stride over packed cols = 1.
+    Returns (K [kh, kw', f*ci, co], w_stride=1, (pad_l, pad_r)).
+    """
+    kh, kw, ci, co = full.shape
+    r = kw // 2
+    o_min, o_max = (-r) // f, r // f
+    kwp = o_max - o_min + 1
+    K = jnp.zeros((kh, kwp, f * ci, co), full.dtype)
+    for dx in range(-r, r + 1):
+        col, ph = dx // f - o_min, dx % f
+        K = K.at[:, col, ph * ci:(ph + 1) * ci, :].add(full[:, dx + r])
+    pad_l = -o_min
+    pad_r = max(0, kwp - 1 - pad_l)
+    return K, 1, (pad_l, pad_r)
+
+
+def pack_stem_kernel(full: jax.Array, f: int, s: int):
+    """Pack kernel [kh, kw, ci, co] for a stride-``s`` conv that consumes
+    UNPACKED input and EMITS packed output — the stage entry (the stem),
+    which makes the pack itself free.
+
+    Output (packed col w2, phase q) centers on original input col
+    s*(f*w2 + q): a width-(s*(f-1)+kw) kernel with stride s*f whose
+    phase-q output-channel block holds the taps at offsets s*q + dx.
+    Returns (K [kh, kw', ci, f*co], w_stride = s*f, (pad_l, pad_r)).
+    """
+    kh, kw, ci, co = full.shape
+    r = kw // 2
+    kwp = s * (f - 1) + kw
+    K = jnp.zeros((kh, kwp, ci, f * co), full.dtype)
+    for q in range(f):
+        for dx in range(-r, r + 1):
+            K = K.at[:, s * q + dx + r, :, q * co:(q + 1) * co].add(
+                full[:, dx + r]
+            )
+    pad_l = r
+    pad_r = max(0, kwp - s * f - pad_l)
+    return K, s * f, (pad_l, pad_r)
