@@ -262,10 +262,13 @@ class EventDataset:
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
                 drop_last: bool = True, yield_count: bool = False,
-                workers: int = 0, prefetch: int = 2, host_shard=None):
-        # ``workers``/``prefetch`` accepted for Dataset API compatibility;
-        # event samples are pre-voxelized .npy loads (cheap), so the async
-        # path is unnecessary here.
+                workers: int = 0, prefetch: int = 2, host_shard=None,
+                quad: bool = False):
+        # ``workers``/``prefetch``/``quad`` accepted for Dataset API
+        # compatibility; event samples are pre-voxelized .npy loads (cheap),
+        # so the async path is unnecessary, and quad tiling does not apply
+        # to fixed-grid event frames.
+        assert not quad, "quad collate is not supported for event batches"
         del workers, prefetch
         order = np.arange(len(self))
         if shuffle:

@@ -376,12 +376,24 @@ def _plan_packing(rows, chs, enabled: bool):
         out.append(bool(ok))
 
     def accepts_packed(j):
-        if rows[j][2] != "BasicBlock_2" or not isinstance(rows[j][0], int):
+        name = rows[j][2]
+        if not isinstance(rows[j][0], int):
             return False
         k, s = block_ks(j)
-        if out[j]:
-            return True  # stays packed (validated above)
-        return k in (1, 3) and s == _PACK_F  # free packed->unpacked exit
+        if name == "BasicBlock_2":
+            if out[j]:
+                return True  # stays packed (validated above)
+            return k in (1, 3) and s == _PACK_F  # free packed->unpacked exit
+        if name == "Concat_res2":
+            # exit-only: conv1 consumes packed; the channel-concat shortcut
+            # pools each piece packed (pooling unpacks for free and commutes
+            # with concat) — needs the channel-expanding branch (c1 < c2)
+            src = src_of(j)
+            return (
+                k in (1, 3) and s == _PACK_F
+                and src is not None and chs[src] < chs[j]
+            )
+        return False
 
     changed = True
     while changed:
@@ -443,6 +455,8 @@ def _construct(name: str, args: Tuple, snn: SNNConfig, mod_name=None,
             kwargs["packed_out"] = packing[1]
         elif name == "BasicBlock_2":
             kwargs["packed_in"], kwargs["packed_out"] = packing
+        elif name == "Concat_res2":
+            kwargs["packed_in"] = packing[0]
     return cls(*args, **kwargs)
 
 

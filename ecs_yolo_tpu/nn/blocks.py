@@ -738,26 +738,42 @@ class Concat_res2(nn.Module):
     k: int = 3
     s: int = 1
     snn: SNNConfig = DEFAULT_SNN
+    packed_in: int = 1  # width-pack factor of the input (exit mode only:
+                        # this block always emits the unpacked layout)
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        c1 = x.shape[-1]
+        f_in = self.packed_in
+        c1 = x.shape[-1] // f_in
         pad = 1 if self.k == 3 else 0
-        y = MemUpdate(act=False, snn=self.snn, name="act1")(x, training)
-        y = SnnConv(self.c2, self.k, self.s, pad, name="conv1")(y)
+        y = MemUpdate(act=False, snn=self.snn, packed=f_in,
+                      name="act1")(x, training)
+        y = SnnConv(self.c2, self.k, self.s, pad, packed_in=f_in,
+                    packed_out=1, name="conv1")(y)
         y = TBatchNorm(1.0, self.snn, name="bn1")(y, training)
         y = MemUpdate(act=False, snn=self.snn, name="act2")(y, training)
         y = SnnConv(self.c2, self.k, 1, pad, name="conv2")(y)
         y = TBatchNorm(0.2, self.snn, name="bn2")(y, training)
 
         if c1 < self.c2:
-            t = MemUpdate(act=False, snn=self.snn, name="sc_act")(x, training)
-            t = SnnConv(self.c2 - c1, 1, 1, name="sc_conv")(t)
-            t = TBatchNorm(1.0, self.snn, name="sc_bn")(t, training)
-            sc = jnp.concatenate([t, x], axis=-1)
+            t = MemUpdate(act=False, snn=self.snn, packed=f_in,
+                          name="sc_act")(x, training)
+            t = SnnConv(self.c2 - c1, 1, 1, packed_in=f_in, packed_out=f_in,
+                        name="sc_conv")(t)
+            t = TBatchNorm(1.0, self.snn, packed=f_in,
+                           name="sc_bn")(t, training)
+            if f_in > 1:
+                # max-pooling unpacks for free and commutes with the channel
+                # concat, so pool the two pieces packed and concat canonical
+                sc = jnp.concatenate(
+                    [max_pool_t_packed(t, self.s, f_in),
+                     max_pool_t_packed(x, self.s, f_in)], axis=-1,
+                )
+            else:
+                sc = max_pool_t(jnp.concatenate([t, x], axis=-1), self.s)
         else:
-            sc = x
-        sc = max_pool_t(sc, self.s)
+            sc = (max_pool_t_packed(x, self.s, f_in) if f_in > 1
+                  else max_pool_t(x, self.s))
         return y + sc
 
 

@@ -91,12 +91,15 @@ class TestPlanner:
         spec, _, chs, _ = parse_model(d, 3)
         assert all(p == (1, 1) for p in _plan_packing(spec, chs, False))
 
-    def test_res10_no_bad_packing(self):
-        # res10 starts with Concat_res2 consumers -> the planner must not
-        # mark anything it cannot keep exactly packed
+    def test_res10_plan(self):
+        # res10: stem + BasicBlock_2 stay packed; the first Concat_res2
+        # (c 64->128, s2) is the exit (its conv1 consumes packed, the
+        # channel-concat shortcut pools each piece packed)
         d = load_cfg("resnet10.yaml")
         spec, _, chs, _ = parse_model(d, 3)
         plan = _plan_packing(spec, chs, True)
+        assert plan[0] == (1, 2) and plan[1] == (2, 2) and plan[2] == (2, 1)
+        assert all(p == (1, 1) for p in plan[3:])
         for (f, n, name, args), (f_in, f_out) in zip(spec, plan):
             if f_out > 1:
                 assert name in ("Conv_1", "BasicBlock_2")
@@ -185,6 +188,19 @@ class TestModelParity:
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
                 )
+
+    def test_res10_eval_exact(self):
+        # exercises the Concat_res2 exit path (packed conv1 + packed-pooled
+        # channel-concat shortcut)
+        mp = build_model("resnet10.yaml", nc=13, snn=SNNConfig(packed_c64=True))
+        mu = build_model("resnet10.yaml", nc=13, snn=SNNConfig(packed_c64=False))
+        v = mp.init(jax.random.PRNGKey(0), imgsz=32)
+        x = jnp.asarray(np.random.RandomState(5).rand(2, 32, 32, 3), jnp.float32)
+        zp, _ = mp.module.apply(v, x, training=False)
+        zu, _ = mu.module.apply(v, x, training=False)
+        np.testing.assert_allclose(
+            np.asarray(zp), np.asarray(zu), rtol=1e-5, atol=1e-4
+        )
 
     def test_rect_input(self, models):
         # non-square letterboxed shapes must work packed
