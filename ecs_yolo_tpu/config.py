@@ -62,6 +62,18 @@ class SNNConfig:
     # the isolated C=64 segment (scripts/bench_packed_segment.py).  Exact
     # same math; canonical parameters (checkpoints are layout-agnostic).
     packed_c64: bool = True
+    # T-invariant stem dedup: a STATIC image is replicated T times at the
+    # model entrance (reference models/yolo.py:247-251), so every layer
+    # before the first T-coupled op (the neuron scan — BasicBlock_2 and
+    # friends all START with mem_update) computes the identical value for
+    # all T copies.  Run that prefix once at T=1 and broadcast after: the
+    # stem Conv_1 — the single most expensive conv (full 640px input) —
+    # does 1/T of the work.  Exact: BN statistics over (N,1,H,W) of one
+    # copy equal statistics over (N,T,H,W) of T identical copies, and the
+    # broadcast's backward sums the T cotangents, matching the replicated
+    # forward's weight gradients.  Event-mode (5-D) input is genuinely
+    # T-varying and bypasses this automatically.
+    stem_dedup: bool = True
     # selective rematerialization: checkpoint ONLY the neuron recurrences
     # (the T-step scan materializes ~3 state tensors per step per site for
     # the backward — the dominant training-memory term).  Much cheaper to

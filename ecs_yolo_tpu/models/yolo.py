@@ -325,6 +325,28 @@ def parse_model(
 _PACK_F = 2
 
 
+# Blocks whose output on a T-replicated input is itself T-replicated: pure
+# per-timestep conv/BN/pool/pad/resize with NO neuron scan and NO cross-T op.
+# (Every spiking block — BasicBlock*, Concat_res*, Conv/Conv_2.. — starts
+# with mem_update, so in practice the T-invariant prefix is the stem.)
+_T_INVARIANT = {"Conv_1", "Conv_A", "Pools", "zeropad", "Sample"}
+
+
+def _t_invariant_prefix(rows, save) -> int:
+    """Longest leading chain of T-invariant, linearly-fed, unsaved layers.
+
+    For a static-image forward these layers are computed once at T=1 and the
+    result broadcast to T (see SNNConfig.stem_dedup).  A saved layer is
+    excluded so the from/save cache only ever holds full-T tensors.
+    """
+    n = 0
+    for i, (f, _, name, _args) in enumerate(rows):
+        if name not in _T_INVARIANT or f != -1 or i in save:
+            break
+        n = i + 1
+    return n
+
+
 def _plan_packing(rows, chs, enabled: bool):
     """Per-layer (packed_in, packed_out) width-pack factors.
 
@@ -495,6 +517,7 @@ class DetectionModel(nn.Module):
     snn: SNNConfig = DEFAULT_SNN
     remat: bool = False
     packing: Tuple = ()  # per-layer (packed_in, packed_out), from _plan_packing
+    tinv_prefix: int = 0  # leading T-invariant layers, from _t_invariant_prefix
 
     def setup(self):
         packing = self.packing or ((1, 1),) * len(self.spec)
@@ -514,9 +537,22 @@ class DetectionModel(nn.Module):
         raise ValueError(f"expected 4-D or 5-D input, got {x.shape}")
 
     def __call__(self, x: jax.Array, training: bool = False):
-        x = self.prepare_input(x)
+        start = 0
+        if x.ndim == 4 and self.tinv_prefix > 0:
+            # static image: run the T-invariant stem once at T=1 and
+            # broadcast — identical math to replicate-then-compute
+            # (SNNConfig.stem_dedup rationale in config.py)
+            x = x[None]
+            for i in range(self.tinv_prefix):
+                x = self.layers[i](x, training)
+            x = jnp.broadcast_to(
+                x, (self.snn.time_window,) + x.shape[1:]
+            )
+            start = self.tinv_prefix
+        else:
+            x = self.prepare_input(x)
         cache: Dict[int, jax.Array] = {}
-        for i, (row, layer) in enumerate(zip(self.spec, self.layers)):
+        for i, (row, layer) in list(enumerate(zip(self.spec, self.layers)))[start:]:
             f = row[0]
             if f != -1:
                 if isinstance(f, int):
@@ -621,11 +657,12 @@ def build_model(
     hname, hidx = head_info["name"], head_info["index"]
 
     packing = _plan_packing(spec, chs, snn.packed_c64)
+    tinv = _t_invariant_prefix(spec, save) if snn.stem_dedup else 0
 
     # phase 1: placeholder strides for the abstract probe
     probe_spec = _with_head_args(spec, hidx, hname, head_info, strides=None, probe=True)
     probe_model = DetectionModel(spec=probe_spec, save=save, snn=snn,
-                                 packing=packing)
+                                 packing=packing, tinv_prefix=tinv)
     key = jax.random.PRNGKey(0)
 
     def _probe():
@@ -641,7 +678,7 @@ def build_model(
     # phase 2: final spec with real strides (+ grid-unit anchors for v1)
     final_spec = _with_head_args(spec, hidx, hname, head_info, strides=strides)
     model = DetectionModel(spec=final_spec, save=save, snn=snn, remat=remat,
-                           packing=packing)
+                           packing=packing, tinv_prefix=tinv)
     return BuiltModel(model, d, final_spec, save, head_info, strides, snn)
 
 
