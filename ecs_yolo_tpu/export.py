@@ -81,13 +81,75 @@ def export_saved_model(model, variables, path, imgsz: int = 640, batch: int = 1)
     return Path(path)
 
 
+def _portable(model):
+    """Rebuild without TPU-layout tricks for portable-runtime exports.
+
+    ``SNNConfig.packed_c64`` packs conv kernels at trace time via
+    scatter-adds (snn/packed_spread.py) — a pure TPU-layout optimization
+    over canonical, layout-agnostic parameters.  TFLite's runtime rejects
+    those stablehlo.scatter configurations, so TF-targeted exports rebuild
+    the same cfg with packing off; the variables tree is identical.
+    """
+    if not getattr(model, "snn", None) or not model.snn.packed_c64:
+        return model
+    import dataclasses
+
+    from .models.yolo import build_model
+
+    return build_model(
+        model.cfg, snn=dataclasses.replace(model.snn, packed_c64=False)
+    )
+
+
+def _representative_dataset(calib_data, imgsz: int, batch: int, n: int = 100):
+    """Calibration-sample generator for int8 post-training quantization.
+
+    Mirrors the reference's representative dataset built from ``LoadImages``
+    over a calibration directory (reference export.py export_tflite int8
+    branch); with no directory given, falls back to uniform noise in [0,1]
+    (documented: activation ranges of a spiking net are threshold-bounded,
+    so noise calibration is a usable default — NOTE, real images preferred).
+    """
+
+    def gen():
+        count = 0
+        if calib_data:
+            from .data.loaders import LoadImages
+
+            for _, img, _, _ in LoadImages(calib_data, img_size=imgsz):
+                x = img[None].astype(np.float32)
+                if x.shape[0] != batch:
+                    x = np.repeat(x, batch, axis=0)[:batch]
+                yield [x]
+                count += 1
+                if count >= n:
+                    return
+        rng = np.random.RandomState(0)
+        while count < n:
+            yield [rng.rand(batch, imgsz, imgsz, 3).astype(np.float32)]
+            count += 1
+
+    return gen
+
+
 def export_tflite(
-    model, variables, path, imgsz: int = 640, batch: int = 1, fp16: bool = False
+    model, variables, path, imgsz: int = 640, batch: int = 1,
+    fp16: bool = False, int8: bool = False, calib_data=None,
 ):
-    """TFLite flatbuffer (reference export_tflite)."""
+    """TFLite flatbuffer (reference export_tflite).
+
+    ``int8=True`` runs post-training quantization with a representative
+    dataset (reference export.py int8 branch: 100 calibration images via
+    LoadImages).  Full-integer conversion (uint8 I/O, TFLITE_BUILTINS_INT8)
+    is attempted first — the unrolled SNN graph is pure conv/elementwise so
+    it usually quantizes end to end; if the converter rejects an op, falls
+    back to hybrid dynamic-range weight quantization (no calibration pass,
+    float I/O, SELECT_TF_OPS allowed) and logs the downgrade.
+    """
     import tensorflow as tf
     from jax.experimental import jax2tf
 
+    model = _portable(model)
     fwd = _forward_fn(model, variables)
     tf_fn = tf.function(
         jax2tf.convert(fwd, with_gradient=False),
@@ -96,17 +158,45 @@ def export_tflite(
             tf.TensorSpec((batch, imgsz, imgsz, 3), tf.float32, name="images")
         ],
     )
-    converter = tf.lite.TFLiteConverter.from_concrete_functions(
-        [tf_fn.get_concrete_function()]
-    )
-    converter.target_spec.supported_ops = [
-        tf.lite.OpsSet.TFLITE_BUILTINS,
-        tf.lite.OpsSet.SELECT_TF_OPS,
-    ]
+
+    def make_converter():
+        c = tf.lite.TFLiteConverter.from_concrete_functions(
+            [tf_fn.get_concrete_function()]
+        )
+        c.target_spec.supported_ops = [
+            tf.lite.OpsSet.TFLITE_BUILTINS,
+            tf.lite.OpsSet.SELECT_TF_OPS,
+        ]
+        return c
+
+    converter = make_converter()
     if fp16:
         converter.optimizations = [tf.lite.Optimize.DEFAULT]
         converter.target_spec.supported_types = [tf.float16]
-    blob = converter.convert()
+    if int8:
+        rep = _representative_dataset(calib_data, imgsz, batch)
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.representative_dataset = rep
+        converter.target_spec.supported_ops = [
+            tf.lite.OpsSet.TFLITE_BUILTINS_INT8
+        ]
+        converter.inference_input_type = tf.uint8
+        converter.inference_output_type = tf.uint8
+        try:
+            blob = converter.convert()
+        except Exception as e:  # converter rejects an unquantizable op
+            LOGGER.warning(
+                f"export: full-int8 TFLite failed ({type(e).__name__}); "
+                "falling back to hybrid dynamic-range quantization"
+            )
+            # Dynamic-range quantization needs no calibration pass, so it
+            # avoids the calibrator choking on non-quantizable ops (e.g.
+            # stablehlo.scatter from the head's static index updates).
+            converter = make_converter()
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+            blob = converter.convert()
+    else:
+        blob = converter.convert()
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_bytes(blob)
@@ -121,8 +211,12 @@ def run(
     out_dir="runs/export",
     imgsz: int = 640,
     batch: int = 1,
+    int8: bool = False,
+    calib_data=None,
 ):
-    """Export to the requested formats (reference export.py run())."""
+    """Export to the requested formats (reference export.py run()).
+
+    ``int8``/``calib_data`` apply to the tflite format (reference --int8)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     results = {}
@@ -136,8 +230,10 @@ def run(
                 model, variables, out_dir / "saved_model", imgsz, batch
             )
         elif fmt == "tflite":
+            name = "model-int8.tflite" if int8 else "model.tflite"
             results[fmt] = export_tflite(
-                model, variables, out_dir / "model.tflite", imgsz, batch
+                model, variables, out_dir / name, imgsz, batch,
+                int8=int8, calib_data=calib_data,
             )
         elif fmt == "orbax":
             import orbax.checkpoint as ocp

@@ -32,6 +32,30 @@ def test_orbax_export(model, tmp_path):
 
 
 @pytest.mark.slow
+def test_tflite_int8_export(model, tmp_path):
+    """int8 PTQ path (reference export.py --int8): converts and runs."""
+    tf = pytest.importorskip("tensorflow")
+    m, v = model
+    out = export_mod.run(
+        m, v, include=("tflite",), out_dir=tmp_path, imgsz=64, int8=True
+    )
+    path = out["tflite"]
+    assert path.exists() and path.stat().st_size > 0
+    interp = tf.lite.Interpreter(model_path=str(path))
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    x = np.random.RandomState(0).rand(*inp["shape"])
+    if inp["dtype"] == np.uint8:  # full-int8 conversion succeeded
+        x = (x * 255).astype(np.uint8)
+    else:  # hybrid fallback keeps float I/O
+        x = x.astype(np.float32)
+    interp.set_tensor(inp["index"], x)
+    interp.invoke()
+    y = interp.get_tensor(interp.get_output_details()[0]["index"])
+    assert np.isfinite(np.asarray(y, np.float32)).all()
+
+
+@pytest.mark.slow
 def test_saved_model_parity(model, tmp_path):
     tf = pytest.importorskip("tensorflow")
     m, v = model

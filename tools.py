@@ -40,12 +40,17 @@ def main():
     fr.add_argument("--out", default="runs/fr/exp")
 
     ex = sub.add_parser("export")
-    ex.add_argument("--weights", required=True)
+    ex.add_argument("--weights", default=None,
+                    help="checkpoint to export (random init if omitted)")
     ex.add_argument("--cfg", default="resnet10.yaml")
     ex.add_argument("--nc", type=int, default=None)
     ex.add_argument("--imgsz", type=int, default=640)
     ex.add_argument("--include", nargs="+", default=["stablehlo"])
     ex.add_argument("--out", default="runs/export")
+    ex.add_argument("--int8", action="store_true",
+                    help="int8 post-training quantization (tflite)")
+    ex.add_argument("--calib-data", default=None,
+                    help="calibration image dir/glob for --int8")
 
     pf = sub.add_parser("profile")
     pf.add_argument("--cfg", default="resnet10.yaml")
@@ -107,7 +112,7 @@ def main():
         model, variables = create(args.cfg, args.weights, nc=args.nc)
         out = export_mod.run(
             model, variables, include=args.include, out_dir=args.out,
-            imgsz=args.imgsz,
+            imgsz=args.imgsz, int8=args.int8, calib_data=args.calib_data,
         )
         print(json.dumps({k: str(v) for k, v in out.items()}))
 
