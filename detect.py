@@ -44,10 +44,22 @@ def main(opt):
             d = yaml.safe_load(fh)
         names, nc = d.get("names"), d["nc"]
 
-    model = build_model(opt.cfg, nc=nc)
-    tree, _ = load_checkpoint(opt.weights)
-    params = tree.get("ema_params", tree["params"])
-    variables = {"params": params, "batch_stats": tree.get("batch_stats", {})}
+    from pathlib import Path
+
+    from ecs_yolo_tpu.backends import DetectMultiBackend
+
+    w = Path(opt.weights)
+    if w.suffix == ".tflite" or (w / "saved_model.pb").is_file():
+        # exported-artifact inference (reference detect.py:97
+        # DetectMultiBackend on .tflite / saved_model weights)
+        model = DetectMultiBackend(w, cfg=opt.cfg, nc=nc, names=names)
+        variables = None
+        names = names or model.names
+    else:
+        model = build_model(opt.cfg, nc=nc)
+        tree, _ = load_checkpoint(opt.weights)
+        params = tree.get("ema_params", tree["params"])
+        variables = {"params": params, "batch_stats": tree.get("batch_stats", {})}
 
     results = detect_mod.run(
         model, variables, opt.source,

@@ -53,20 +53,35 @@ def run(
     save_txt: bool = False,
     names: Optional[List[str]] = None,
 ):
-    """Yields (path, detections [n,6] native xyxy/conf/cls) per image."""
+    """Yields (path, detections [n,6] native xyxy/conf/cls) per image.
+
+    ``model`` is a :class:`BuiltModel` (with ``variables``) or a
+    :class:`~ecs_yolo_tpu.backends.DetectMultiBackend` wrapping an exported
+    artifact (reference detect.py:97 constructing DetectMultiBackend)."""
+    from .backends import DetectMultiBackend
+
     has_obj = model.head_name == "Detect"
     loader = LoadImages(source, img_size=imgsz)
 
-    @jax.jit
-    def forward(images):
-        out = model.module.apply(variables, images, training=False)
-        if model.head_name == "v10Detect":
-            return out.one2one[0]
-        pred = out[0]
-        if model.head_name in ("Segment", "Panoptic"):
-            # drop mask coefficients before NMS (see val.py)
-            pred = pred[:, : 4 + model.nc, :]
-        return pred
+    if isinstance(model, DetectMultiBackend):
+        def forward(images):
+            pred = model.predict(images)
+            if model.head_name in ("Segment", "Panoptic"):
+                pred = pred[:, : 4 + model.nc, :]
+            return pred
+    else:
+        @jax.jit
+        def _fwd(images):
+            out = model.module.apply(variables, images, training=False)
+            if model.head_name == "v10Detect":
+                return out.one2one[0]
+            pred = out[0]
+            if model.head_name in ("Segment", "Panoptic"):
+                # drop mask coefficients before NMS (see val.py)
+                pred = pred[:, : 4 + model.nc, :]
+            return pred
+
+        forward = _fwd
 
     if save_dir:
         Path(save_dir).mkdir(parents=True, exist_ok=True)

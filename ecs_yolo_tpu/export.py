@@ -18,6 +18,7 @@ spiking blocks included.
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 from typing import Optional, Sequence, Tuple
 
@@ -213,12 +214,28 @@ def run(
     batch: int = 1,
     int8: bool = False,
     calib_data=None,
+    names=None,
 ):
     """Export to the requested formats (reference export.py run()).
 
-    ``int8``/``calib_data`` apply to the tflite format (reference --int8)."""
+    ``int8``/``calib_data`` apply to the tflite format (reference --int8).
+
+    A ``metadata.json`` sidecar (head name / nc / imgsz / strides / names)
+    is written next to the artifacts so :class:`~ecs_yolo_tpu.backends.
+    DetectMultiBackend` can run them without the model YAML — the analog of
+    the reference embedding a metadata yaml into its TFLite/SavedModel
+    exports (reference export.py ``add_tflite_metadata``)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    meta = {
+        "head_name": model.head_name,
+        "nc": int(model.nc),
+        "imgsz": int(imgsz),
+        "batch": int(batch),
+        "strides": [float(s) for s in model.strides],
+        "names": names,
+    }
+    (out_dir / "metadata.json").write_text(json.dumps(meta, indent=1))
     results = {}
     for fmt in include:
         if fmt == "stablehlo":
