@@ -42,6 +42,39 @@ def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def _tree_fold_sum(x: jax.Array) -> jax.Array:
+    """Fixed-order pairwise tree reduction over axis 0.
+
+    ``jnp.sum``/``jnp.mean`` let XLA pick the reduction order, and that order
+    CHANGES with the device mesh (measured on the 8-device CPU mesh: batch
+    moments differ ~1 ulp between 1-device and batch-sharded runs — the
+    Heaviside then amplifies that to 0.3% of loss).  Spelling the fold as
+    explicit pairwise adds pins the float reassociation, so a batch-sharded
+    reduction is bit-identical to the single-device one on any mesh.
+    """
+    while x.shape[0] > 1:
+        n = x.shape[0]
+        half = n // 2
+        y = x[: 2 * half : 2] + x[1 : 2 * half : 2]
+        if n % 2:
+            y = jnp.concatenate([y, x[n - 1 :]], axis=0)
+        x = y
+    return x[0]
+
+
+def _det_batch_moments(yf: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-channel (mean, biased var) of ``[B, ..., C]`` with a reduction
+    order that is invariant to batch sharding: per-sample partial sums
+    (sample-local, hence mesh-invariant) folded by `_tree_fold_sum`."""
+    spatial = tuple(range(1, yf.ndim - 1))
+    cnt = yf.size // yf.shape[-1]
+    ps = jnp.sum(yf, axis=spatial)              # [B, C]
+    ps2 = jnp.sum(jnp.square(yf), axis=spatial)
+    m = _tree_fold_sum(ps) / cnt
+    m2 = _tree_fold_sum(ps2) / cnt
+    return m, m2 - jnp.square(m)
+
+
 class _PackedConvCore(nn.Module):
     """Width-packed conv that owns the CANONICAL kernel (same param path,
     shape and init as the plain ``nn.Conv`` it replaces) and rewrites it at
@@ -180,24 +213,60 @@ class TBatchNorm(nn.Module):
                 y, t = fold_t(x)
                 return unfold_t(bn(y, training).astype(in_dtype), t)
             return bn(x, training).astype(in_dtype)
-        bn = nn.BatchNorm(
-            use_running_average=not training,
-            momentum=0.9,
-            epsilon=1e-5,
-            # statistics/normalization in >= fp32 even under bf16 compute —
-            # torch AMP keeps BN in fp32 for the same reason (the reference
-            # trains under autocast, train.py:553); running stats stay fp32
-            # (promote, not pin, so float64 parity tests stay in f64)
-            dtype=jnp.promote_types(x.dtype, jnp.float32),
-            scale_init=nn.initializers.constant(gamma0),
-            bias_init=nn.initializers.zeros,
-            name="bn",
-        )
+        bn = _DetBN(gamma0=gamma0, name="bn")
         in_dtype = x.dtype
         if x.ndim == 5:
             y, t = fold_t(x)
-            return unfold_t(bn(y).astype(in_dtype), t)
-        return bn(x).astype(in_dtype)
+            return unfold_t(bn(y, training).astype(in_dtype), t)
+        return bn(x, training).astype(in_dtype)
+
+
+class _DetBN(nn.Module):
+    """BatchNorm with DETERMINISTIC (mesh-invariant) batch moments.
+
+    Drop-in for the ``nn.BatchNorm`` it replaced — same variable layout
+    (params ``scale``/``bias``, batch_stats ``mean``/``var``), momentum-0.9
+    running update, biased variance, eps 1e-5, statistics/normalization in
+    >= fp32 even under bf16 compute (torch AMP keeps BN in fp32 for the same
+    reason; the reference trains under autocast, train.py:553; promote, not
+    pin, so float64 parity tests stay in f64).  The one change: training
+    moments go through `_det_batch_moments`, so a batch-sharded train step
+    is bit-identical to the single-device step (SyncBN-equivalent semantics
+    with DETERMINISTIC reduction — fixes the round-3 1-vs-8 parity break).
+    """
+
+    gamma0: float
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, y: jax.Array, training: bool) -> jax.Array:
+        c = y.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.constant(self.gamma0), (c,), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        dt = jnp.promote_types(y.dtype, jnp.float32)
+        yf = y.astype(dt)
+        if training:
+            m, v = _det_batch_moments(yf)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * m
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * v
+                )
+        else:
+            m, v = ra_mean.value.astype(dt), ra_var.value.astype(dt)
+        mul = jax.lax.rsqrt(v + self.eps) * scale.astype(dt)
+        return (yf - m) * mul + bias.astype(dt)
 
 
 class _PackedBN(nn.Module):
@@ -232,12 +301,16 @@ class _PackedBN(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.c,), jnp.float32)
         )
         yf = y.astype(jnp.promote_types(y.dtype, jnp.float32))
-        axes = tuple(range(y.ndim - 1))
         if training:
-            m = jnp.mean(yf, axis=axes).reshape(self.f, self.c).mean(0)
-            m2 = jnp.mean(
-                jnp.square(yf), axis=axes
-            ).reshape(self.f, self.c).mean(0)
+            # deterministic (mesh-invariant) moments, see _det_batch_moments:
+            # per-sample sums -> tree fold -> fold the f phase blocks (each
+            # holds a disjoint half of the same canonical channel)
+            spatial = tuple(range(1, yf.ndim - 1))
+            cnt = (yf.size // yf.shape[-1]) * self.f
+            ps = jnp.sum(yf, axis=spatial)              # [B, f*C]
+            ps2 = jnp.sum(jnp.square(yf), axis=spatial)
+            m = _tree_fold_sum(ps).reshape(self.f, self.c).sum(0) / cnt
+            m2 = _tree_fold_sum(ps2).reshape(self.f, self.c).sum(0) / cnt
             v = m2 - jnp.square(m)
             if not self.is_initializing():
                 ra_mean.value = (
