@@ -44,6 +44,13 @@ def img2label_path(p: str) -> str:
     return sb.join(p.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt"
 
 
+def img2stuff_path(p: str) -> str:
+    """images/xxx.jpg -> stuff/xxx.txt — stuff-class polygons for panoptic
+    training (reference utils/panoptic/dataloaders.py:85-88)."""
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}stuff{os.sep}"
+    return sb.join(p.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt"
+
+
 def find_images(path) -> List[str]:
     """Resolve a dir / txt list / glob into a sorted image list."""
     files: List[str] = []
@@ -557,13 +564,20 @@ class SegmentDataset(Dataset):
     mosaic is out of scope); letterbox/flip/HSV still apply."""
 
     def __init__(self, *args, mask_ratio: int = 4, include_masks: bool = True,
-                 **kw):
+                 semantic: bool = False, **kw):
         kw.setdefault("hyp", {})
         super().__init__(*args, **kw)
         self.mask_ratio = mask_ratio
         # include_masks=False parses polygon labels but yields plain
         # detection batches (for the val loop, which is detection-metric)
         self.include_masks = include_masks
+        # semantic=True (Panoptic training) adds an int class-id map at mask
+        # resolution: thing polygons drawn with their class id, plus optional
+        # stuff polygons from sibling stuff/xxx.txt files (reference
+        # utils/panoptic/dataloaders.py:85-88,292-297 — there the GT is
+        # per-class binary channels; the id map one-hots to the same thing
+        # in-graph, see nn/segment.semantic_loss).  Background = -1.
+        self.semantic = semantic and include_masks
         # geometric augmentations are disabled: boxes and polygons must see
         # the same transform, and the polygon variants (reference
         # utils/segment/augmentations.py) are out of scope this round —
@@ -613,22 +627,51 @@ class SegmentDataset(Dataset):
                 fill=1.0,
             )
             masks[i] = np.asarray(im)
-        return img, labels, valid, masks
+        if not self.semantic:
+            return img, labels, valid, masks
+        # semantic class-id map: stuff polygons first (things overwrite —
+        # instance detail wins where they overlap), background -1
+        sem = Image.new("I", (mw, mh), -1)
+        draw = ImageDraw.Draw(sem)
+
+        def draw_poly(pts, cls_id):
+            px = pts[:, 0] * w0 * gx + pw
+            py = pts[:, 1] * h0 * gy + ph
+            draw.polygon(
+                [(x / self.mask_ratio, y / self.mask_ratio)
+                 for x, y in zip(px, py)],
+                fill=int(cls_id),
+            )
+
+        stuff_lb, stuff_segs = load_segment_label_file(
+            img2stuff_path(self.img_files[index])
+        )
+        for lb_row, pts in zip(stuff_lb, stuff_segs):
+            draw_poly(pts, lb_row[0])
+        raw = self.labels[index]
+        for i in range(min(len(self.segments[index]), len(raw))):
+            draw_poly(self.segments[index][i], raw[i, 0])
+        return img, labels, valid, masks, np.asarray(sem, np.int32)
 
     def _collate(self, idxs, items, batch_size, drop_last,
                  yield_count, yield_idx):
         if not self.include_masks:
             return super()._collate(idxs, items, batch_size, drop_last,
                                     yield_count, yield_idx)
-        ims, lbs, ms, masks = zip(*items)
+        cols = list(zip(*items))
+        ims, lbs, ms = cols[:3]
         base = super()._collate(
             idxs, list(zip(ims, lbs, ms)), batch_size, drop_last,
             yield_count, yield_idx,
         )
-        masks = np.stack(masks)
-        if len(idxs) < batch_size and not drop_last:
-            padn = batch_size - len(idxs)
-            masks = np.concatenate(
-                [masks, np.zeros((padn,) + masks.shape[1:], masks.dtype)]
-            )
-        return (*base, masks)
+        extra = []
+        for col in cols[3:]:  # instance masks (+ semantic map if enabled)
+            arr = np.stack(col)
+            if len(idxs) < batch_size and not drop_last:
+                padn = batch_size - len(idxs)
+                fill = -1 if np.issubdtype(arr.dtype, np.integer) else 0
+                arr = np.concatenate(
+                    [arr, np.full((padn,) + arr.shape[1:], fill, arr.dtype)]
+                )
+            extra.append(arr)
+        return (*base, *extra)

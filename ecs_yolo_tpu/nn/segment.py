@@ -209,3 +209,74 @@ def compute_loss_segment(
         [det_items[0], jax.lax.stop_gradient(lm), det_items[1], det_items[2]]
     )
     return det_total + lm * B, items
+
+
+def sigmoid_focal_loss(
+    logits: jax.Array, targets: jax.Array,
+    alpha: float = 0.25, gamma: float = 2.0,
+) -> jax.Array:
+    """Element-wise sigmoid focal loss (torchvision.ops.sigmoid_focal_loss —
+    the reference's semantic term, utils/panoptic/loss_tal.py:262)."""
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * (1 - p_t) ** gamma
+    if alpha >= 0:
+        loss = (alpha * targets + (1 - alpha) * (1 - targets)) * loss
+    return loss
+
+
+def semantic_loss(
+    sem_logits: jax.Array,  # [B, Hs, Ws, C] from UConv (channel-last)
+    sem_gt: jax.Array,  # [B, hs, ws] int class-id map, <0 = background
+) -> Tuple[jax.Array, jax.Array]:
+    """Semantic-segmentation terms of the panoptic loss (reference
+    utils/panoptic/loss_tal.py:252-272): sigmoid focal (alpha .25, gamma 2,
+    mean) and a global dice on the channel softmax.  The reference's
+    ``semasks`` are per-class binary maps OR-ed from polygons
+    (utils/panoptic/dataloaders.py:292-297); here the GT travels as a
+    compact int class-id map and is one-hotted in-graph — out-of-range ids
+    (background/void, -1) one-hot to all-zeros, matching pixels no polygon
+    covers in the reference.  Returns (focal_term, dice_term), already
+    scaled by the reference gains (x20 /2 x2.5 and /2 x2.5)."""
+    c = sem_logits.shape[-1]
+    if sem_gt.shape[1:3] != sem_logits.shape[1:3]:
+        sem_gt = jax.image.resize(
+            sem_gt, (sem_gt.shape[0],) + sem_logits.shape[1:3],
+            method="nearest",
+        )
+    gt = jax.nn.one_hot(sem_gt, c, dtype=sem_logits.dtype)  # [B,Hs,Ws,C]
+    focal = sigmoid_focal_loss(sem_logits, gt).mean() / 2.0
+    p = jax.nn.softmax(sem_logits, axis=-1)
+    inter = jnp.sum(p * gt)
+    union = jnp.sum(p + gt)
+    dice = (2.0 * inter + 1.0) / (union + 1.0)
+    return focal * 20.0 * 2.5, (1.0 - dice) / 2.0 * 2.5
+
+
+def compute_loss_panoptic(
+    out,  # training output: (feats, mc, protos, sem)
+    targets,  # [B, M, 5]
+    t_mask,  # [B, M]
+    gt_masks,  # [B, M, ph, pw] binary instance masks at proto resolution
+    sem_gt,  # [B, hs, ws] int class-id map (things [0,nc); stuff ids above)
+    strides,
+    nc: int,
+    mask_gain: float = 2.5,
+):
+    """Full panoptic loss (reference utils/panoptic/loss_tal.py:183-280):
+    the Segment composite (box 7.5, mask 2.5/bs, cls 0.5, dfl 1.5) plus the
+    semantic focal + dice terms over the UConv branch.  Returns
+    (total*bs, (box, mask, cls, dfl, sem_focal, sem_dice))."""
+    det_total, det_items = compute_loss_segment(
+        out, targets, t_mask, gt_masks, strides, nc, mask_gain=mask_gain
+    )
+    B = out[0][0].shape[0]
+    lf, ld = semantic_loss(out[3].astype(jnp.float32), sem_gt)
+    items = jnp.concatenate(
+        [det_items,
+         jnp.stack([jax.lax.stop_gradient(lf), jax.lax.stop_gradient(ld)])]
+    )
+    return det_total + (lf + ld) * B, items

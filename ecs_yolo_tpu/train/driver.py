@@ -36,17 +36,22 @@ from .optim import build_optimizer, make_lr_fn
 from .trainer import create_train_state, make_train_step
 
 
-def _is_segment_head(cfg) -> bool:
-    """True when the model YAML's head is Segment/Panoptic (drives the
-    polygon-label SegmentDataset + composite mask loss)."""
+def _head_of(cfg) -> str:
+    """Last head row's block name from the model YAML ('' on failure)."""
     from ..models.yolo import load_cfg
 
     try:
         d = load_cfg(cfg)
         rows = list(d.get("head", []))
-        return bool(rows) and rows[-1][2] in ("Segment", "Panoptic")
+        return rows[-1][2] if rows else ""
     except Exception:
-        return False
+        return ""
+
+
+def _is_segment_head(cfg) -> bool:
+    """True when the model YAML's head is Segment/Panoptic (drives the
+    polygon-label SegmentDataset + composite mask loss)."""
+    return _head_of(cfg) in ("Segment", "Panoptic")
 
 
 def train(
@@ -122,6 +127,10 @@ def train(
         train_ds = SegmentDataset(
             train_path, img_size=imgsz, augment=True, hyp=hyp,
             max_labels=max_labels,
+            # Panoptic also trains the semantic branch: class-id map from
+            # thing polygons + optional stuff/xxx.txt polygons (reference
+            # utils/panoptic/dataloaders.py)
+            semantic=_head_of(cfg) == "Panoptic",
         )
         val_ds = (
             SegmentDataset(val_path, img_size=imgsz, augment=False,
@@ -229,12 +238,14 @@ def train(
     seg_mode = model.head_name in ("Segment", "Panoptic") and hasattr(
         train_ds, "include_masks"
     )
+    sem_mode = seg_mode and getattr(train_ds, "semantic", False)
     step_fn = make_train_step(
         model, tx, hyp, ema_decay=ema_decay,
         compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
         sr=sr, sr_total_steps=epochs * steps_per_epoch,
         accumulate=accumulate,
         with_masks=seg_mode,
+        with_semantic=sem_mode,
     )
 
     # multi-scale: per-EPOCH size buckets in /32 steps over 0.5-1.5x imgsz

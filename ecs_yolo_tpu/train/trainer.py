@@ -102,15 +102,22 @@ def make_loss_fn(model: BuiltModel, hyp: Dict[str, float]):
         # utils/segment/loss_tal.py).  When the batch carries instance masks
         # (SegmentDataset, make_train_step(with_masks=True)) the full loss
         # runs; a plain detection batch falls back to the detection terms.
-        # Panoptic's semantic branch (out[3]) would additionally need
-        # semantic GT — not carried by the YOLO-seg label format (NOTE).
-        from ..nn.segment import compute_loss_segment
+        # Panoptic additionally takes a semantic class-id map (SegmentDataset
+        # semantic=True, make_train_step(with_semantic=True)) for the
+        # focal+dice terms over the UConv branch (reference
+        # utils/panoptic/loss_tal.py:252-272).
+        from ..nn.segment import compute_loss_segment, compute_loss_panoptic
 
-        def loss(out, targets, t_mask, gt_masks=None):
+        def loss(out, targets, t_mask, gt_masks=None, sem_gt=None):
             if gt_masks is None:
                 if isinstance(out, tuple) and isinstance(out[0], (list, tuple)):
                     return compute_loss_tal(out[0], targets, t_mask, strides, nc)
                 return compute_loss_tal(out, targets, t_mask, strides, nc)
+            if sem_gt is not None:
+                return compute_loss_panoptic(
+                    out, targets, t_mask, gt_masks, sem_gt, strides, nc,
+                    mask_gain=hyp.get("mask", 2.5),
+                )
             return compute_loss_segment(
                 out, targets, t_mask, gt_masks, strides, nc,
                 mask_gain=hyp.get("mask", 2.5),
@@ -131,6 +138,7 @@ def make_train_step(
     sr_total_steps: int = 0,
     accumulate: int = 1,
     with_masks: bool = False,
+    with_semantic: bool = False,
     jit: bool = True,
 ):
     """Build the jitted train step.  Batch: (images [B,H,W,C] float 0-1,
@@ -141,10 +149,13 @@ def make_train_step(
     (reference ModelEMA updates once per optimizer step,
     utils/torch_utils.py:286 + train.py:567-583).  ``with_masks`` adds a
     5th batch element — per-instance masks [B, M, ph, pw] — for the
-    Segment/Panoptic composite loss (SegmentDataset batches)."""
+    Segment/Panoptic composite loss (SegmentDataset batches); ``with_semantic``
+    a 6th — an int class-id map [B, hs, ws] — for Panoptic's semantic
+    focal+dice terms."""
     loss_fn = make_loss_fn(model, hyp)
 
-    def step_fn(state: TrainState, images, targets, t_mask, gt_masks=None):
+    def step_fn(state: TrainState, images, targets, t_mask, gt_masks=None,
+                sem_gt=None):
         def losses(params):
             # bf16 compute: fp32 master params cast at the apply boundary
             # (grads accumulate back into fp32 — the TPU equivalent of the
@@ -173,7 +184,9 @@ def make_train_step(
                     else a,
                     out,
                 )
-            if with_masks:
+            if with_masks and with_semantic:
+                total, items = loss_fn(out, targets, t_mask, gt_masks, sem_gt)
+            elif with_masks:
                 total, items = loss_fn(out, targets, t_mask, gt_masks)
             else:
                 total, items = loss_fn(out, targets, t_mask)
