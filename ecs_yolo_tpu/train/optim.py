@@ -38,7 +38,7 @@ def make_lr_fn(
     warmup_epochs: float = 3.0,
     warmup_bias_lr: float = 0.1,
     is_bias: bool = False,
-    min_warmup_steps: float = 100.0,
+    min_warmup_steps: float = 1000.0,
 ):
     """Per-step LR: warmup interpolation then epoch-wise lf decay
     (reference train.py:524-540).
@@ -46,9 +46,10 @@ def make_lr_fn(
     ``steps_per_epoch`` counts the steps this schedule is actually evaluated
     at.  Under gradient accumulation (optax.MultiSteps) the inner schedule
     only advances once per apply, so the caller must pass
-    micro_steps_per_epoch / accumulate (and scale the 100-micro-batch warmup
+    micro_steps_per_epoch / accumulate (and scale the 1000-micro-batch warmup
     floor the same way) or warmup/decay run ``accumulate``x too slow."""
     lf = one_cycle(1, lrf, epochs) if cos_lr else linear_lf(lrf, epochs)
+    # 1000-iteration warmup floor matches reference train.py:452 exactly
     nw = max(warmup_epochs * steps_per_epoch, min_warmup_steps)
     start = warmup_bias_lr if is_bias else 0.0
 
@@ -109,10 +110,11 @@ def build_optimizer(
 
     # schedules are evaluated once per optimizer APPLY: under MultiSteps the
     # inner count advances every `accumulate` micro-steps, so convert the
-    # micro-step epoch length (and the 100-micro-batch warmup floor) to
+    # micro-step epoch length (and the 1000-micro-batch warmup floor,
+    # reference train.py:452) to
     # apply-steps or warmup/decay stretch by `accumulate`x.
     sched_spe = steps_per_epoch / max(accumulate, 1)
-    min_warmup = 100.0 / max(accumulate, 1)
+    min_warmup = 1000.0 / max(accumulate, 1)
 
     def make_tx(is_bias: bool, decay: float):
         lr_fn = make_lr_fn(
