@@ -44,6 +44,14 @@ def main():
     model = build_model(CFG, nc=NC)
     variables = model.init(jax.random.PRNGKey(0), imgsz=64)
 
+    if os.environ.get("BENCH_FUSE", "0") == "1":
+        # fold BN scale into conv kernels (reference fuses at every load,
+        # models/experimental.py:94); off by default so the graded number
+        # stays comparable across rounds — measure the delta explicitly
+        from ecs_yolo_tpu.models.utils import fuse_conv_bn
+
+        variables = fuse_conv_bn(variables)
+
     # bf16 compute: cast params and inputs; BN running stats stay fp32
     cast = lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)

@@ -27,6 +27,10 @@ def parse_opt():
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--device", default="",
                    help="jax platform, e.g. cpu or tpu (reference --device)")
+    p.add_argument("--fuse", action="store_true",
+                   help="fold BN scale into conv kernels before inference "
+                        "(reference fuses at every load, "
+                        "models/experimental.py:94)")
     return p.parse_args()
 
 
@@ -60,6 +64,10 @@ def main(opt):
         tree, _ = load_checkpoint(opt.weights)
         params = tree.get("ema_params", tree["params"])
         variables = {"params": params, "batch_stats": tree.get("batch_stats", {})}
+        if opt.fuse:
+            from ecs_yolo_tpu.models.utils import fuse_conv_bn
+
+            variables = fuse_conv_bn(variables)
 
     results = detect_mod.run(
         model, variables, opt.source,

@@ -51,18 +51,28 @@ def run(
     )
     has_obj = model.head_name == "Detect"
 
-    @jax.jit
-    def forward(images):
-        out = model.module.apply(variables, images, training=False)
-        if model.head_name in ("v10Detect", "ASFF_v10Detect"):
-            return out.one2one[0]
-        pred = out[0]
-        if model.head_name in ("Segment", "Panoptic"):
-            # [B, 4+nc+nm, A]: drop the mask coefficients before NMS —
-            # they are not class scores (reference val runs the detection
-            # slice the same way)
-            pred = pred[:, : 4 + model.nc, :]
-        return pred
+    if variables is None and hasattr(model, "predict"):
+        # exported-artifact eval (DetectMultiBackend on .tflite/saved_model
+        # — reference val.py runs DetectMultiBackend weights the same way);
+        # used to measure e.g. the int8 PTQ mAP delta vs the native path
+        def forward(images):
+            pred = jnp.asarray(model.predict(np.asarray(images)))
+            if model.head_name in ("Segment", "Panoptic"):
+                pred = pred[:, : 4 + model.nc, :]
+            return pred
+    else:
+        @jax.jit
+        def forward(images):
+            out = model.module.apply(variables, images, training=False)
+            if model.head_name in ("v10Detect", "ASFF_v10Detect"):
+                return out.one2one[0]
+            pred = out[0]
+            if model.head_name in ("Segment", "Panoptic"):
+                # [B, 4+nc+nm, A]: drop the mask coefficients before NMS —
+                # they are not class scores (reference val runs the detection
+                # slice the same way)
+                pred = pred[:, : 4 + model.nc, :]
+            return pred
 
     iouv = np.linspace(0.5, 0.95, 10)
     stats = []

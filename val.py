@@ -35,6 +35,10 @@ def parse_opt():
     p.add_argument("--use-ema", action="store_true", default=True)
     p.add_argument("--device", default="",
                    help="jax platform, e.g. cpu or tpu (reference --device)")
+    p.add_argument("--fuse", action="store_true",
+                   help="fold BN scale into conv kernels before eval "
+                        "(reference fuses at every load, "
+                        "models/experimental.py:94)")
     return p.parse_args()
 
 
@@ -51,10 +55,22 @@ def main(opt):
     root = Path(data.get("path", "."))
     split = data.get(opt.task if opt.task != "speed" else "val", data["val"])
 
-    model = build_model(opt.cfg, nc=data["nc"])
-    tree, meta = load_checkpoint(opt.weights)
-    params = tree.get("ema_params") if opt.use_ema and "ema_params" in tree else tree["params"]
-    variables = {"params": params, "batch_stats": tree.get("batch_stats", {})}
+    w = Path(opt.weights)
+    if w.suffix == ".tflite" or (w / "saved_model.pb").is_file():
+        # exported-artifact eval (reference val.py DetectMultiBackend)
+        from ecs_yolo_tpu.backends import DetectMultiBackend
+
+        model = DetectMultiBackend(w, cfg=opt.cfg, nc=data["nc"])
+        variables = None
+    else:
+        model = build_model(opt.cfg, nc=data["nc"])
+        tree, meta = load_checkpoint(opt.weights)
+        params = tree.get("ema_params") if opt.use_ema and "ema_params" in tree else tree["params"]
+        variables = {"params": params, "batch_stats": tree.get("batch_stats", {})}
+        if opt.fuse:
+            from ecs_yolo_tpu.models.utils import fuse_conv_bn
+
+            variables = fuse_conv_bn(variables)
 
     results = val_mod.run(
         model, variables, str(root / split),
