@@ -48,6 +48,28 @@ class Loggers:
                 )
             except Exception:
                 LOGGER.info("W&B not installed; skipping")
+        # ClearML / Comet fan-outs (reference utils/loggerss/clearml/,
+        # comet/): gated on the packages, same scalar stream as CSV/TB/W&B
+        self.clearml = None
+        self.comet = None
+        if "clearml" in include:
+            try:
+                from clearml import Task
+
+                self.clearml = Task.init(
+                    project_name="ecs_yolo_tpu",
+                    task_name=self.save_dir.name,
+                    output_uri=False,
+                )
+            except Exception:
+                LOGGER.info("ClearML not installed; skipping")
+        if "comet" in include:
+            try:
+                import comet_ml
+
+                self.comet = comet_ml.Experiment(project_name="ecs_yolo_tpu")
+            except Exception:
+                LOGGER.info("Comet not installed; skipping")
 
     def log_metrics(self, metrics: Dict[str, float], step: int):
         """Fan out one scalar dict (on_fit_epoch_end)."""
@@ -63,6 +85,14 @@ class Loggers:
                 self.tb.add_scalar(k, v, step)
         if self.wandb:
             self.wandb.log(metrics, step=step)
+        if self.clearml:
+            for k, v in metrics.items():
+                title, _, series = k.partition("/")
+                self.clearml.get_logger().report_scalar(
+                    title, series or title, float(v), step
+                )
+        if self.comet:
+            self.comet.log_metrics(metrics, step=step)
 
     def log_image(self, name: str, image, step: int = 0):
         if self.tb is not None:
@@ -78,3 +108,7 @@ class Loggers:
             self.tb.close()
         if self.wandb:
             self.wandb.finish()
+        if self.clearml:
+            self.clearml.close()
+        if self.comet:
+            self.comet.end()

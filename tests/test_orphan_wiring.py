@@ -79,3 +79,17 @@ def test_evolve_loop(tmp_path):
                 assert META[k][1] <= v <= META[k][2], (k, v)
     assert (tmp_path / "evo" / "evolve.csv").exists()
     assert best["lr0"] >= base["lr0"] * 0.5  # GA kept high-fitness parents
+
+
+def test_loggers_gated_backends(tmp_path):
+    """Loggers with every fan-out requested degrades gracefully when the
+    packages are absent (reference utils/loggerss/{wandb,clearml,comet}
+    integrations are import-gated the same way) and still writes CSV."""
+    from ecs_yolo_tpu.utils.loggers import Loggers
+
+    lg = Loggers(tmp_path, include=("csv", "tb", "wandb", "clearml", "comet"))
+    lg.log_metrics({"train/box_loss": 1.0, "fitness": 0.5}, step=0)
+    lg.log_metrics({"train/box_loss": 0.9, "fitness": 0.6}, step=1)
+    lg.close()
+    rows = (tmp_path / "results.csv").read_text().strip().splitlines()
+    assert len(rows) == 3 and rows[0].startswith("step")
