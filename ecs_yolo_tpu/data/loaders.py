@@ -91,8 +91,11 @@ class LoadStreams:
     def __iter__(self):
         import time as _time
 
-        while self.running and any(t.is_alive() for t in self.threads):
+        while self.running:
+            alive = any(t.is_alive() for t in self.threads)
             if any(f is None for f in self.frames):
+                if not alive:
+                    return  # a source ended before producing any frame
                 _time.sleep(0.01)
                 continue
             ims0 = [f.copy() for f in self.frames]
@@ -103,6 +106,11 @@ class LoadStreams:
                 ]
             ).astype(np.float32) / 255.0
             yield self.sources, ims, ims0
+            if not alive:
+                # finite sources (video files / HTTP clips): the readers
+                # have drained — the last frame was delivered exactly once
+                # (live webcam/RTSP readers stay alive and loop forever)
+                return
 
     def close(self):
         self.running = False
