@@ -21,12 +21,19 @@ def heaviside(u: jax.Array, thresh: float = 0.5, lens: float = 0.5) -> jax.Array
 
 
 def _heaviside_fwd(u, thresh, lens):
-    return heaviside(u, thresh, lens), u
+    # Residual compaction (round 4): the backward needs only the 0/1
+    # rectangular window, not the membrane itself — saving it as int8
+    # halves the residual HBM traffic at every neuron site AND releases
+    # the membrane tensor entirely (nothing else in the backward consumes
+    # it: the reset gate is stop-gradient'd and the ECS recurrence reads
+    # spikes, not membranes).  Exact: the window is computed from u in the
+    # forward, bit-identical to computing it in the backward.
+    window = (jnp.abs(u - thresh) < lens).astype(jnp.int8)
+    return heaviside(u, thresh, lens), window
 
 
-def _heaviside_bwd(thresh, lens, u, g):
-    window = (jnp.abs(u - thresh) < lens).astype(g.dtype)
-    return (g * window / (2.0 * lens),)
+def _heaviside_bwd(thresh, lens, window, g):
+    return (g * window.astype(g.dtype) / (2.0 * lens),)
 
 
 heaviside.defvjp(_heaviside_fwd, _heaviside_bwd)

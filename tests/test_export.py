@@ -54,6 +54,21 @@ def test_tflite_int8_export(model, tmp_path):
     y = interp.get_tensor(interp.get_output_details()[0]["index"])
     assert np.isfinite(np.asarray(y, np.float32)).all()
 
+    # quantization-quality bound (VERDICT r3 item 6): the dequantized int8
+    # output must track the native forward — catches a silently broken
+    # calibration even with random weights.  (The trained-accuracy delta is
+    # measured by scripts/validate_int8.py and recorded in BASELINE.md §6.)
+    from ecs_yolo_tpu.backends import DetectMultiBackend
+
+    be = DetectMultiBackend(path, cfg="resnet10.yaml", nc=2)
+    xf = np.random.RandomState(1).rand(*inp["shape"]).astype(np.float32)
+    y8 = np.asarray(be.predict(xf), np.float32).ravel()
+    yn = np.asarray(
+        m.apply(v, jnp.asarray(xf), training=False)[0], np.float32
+    ).ravel()
+    corr = np.corrcoef(y8, yn)[0, 1]
+    assert corr > 0.95, f"int8 output decorrelated from native: r={corr:.3f}"
+
 
 @pytest.mark.slow
 def test_saved_model_parity(model, tmp_path):
