@@ -38,7 +38,10 @@ HYP = dict(
     fl_gamma=0.0, label_smoothing=0.0, slide_ratio=0.0,
 )
 
-snn = SNNConfig(time_window=4, remat_neuron=True)
+snn = SNNConfig(
+    time_window=4,
+    remat_neuron=os.environ.get("BENCH_REMAT", "0") == "1",
+)
 model = build_model(CFG, nc=NC, snn=snn)
 variables = model.init(jax.random.PRNGKey(0), imgsz=64)
 tx = build_optimizer(variables["params"], epochs=3, steps_per_epoch=10)
