@@ -54,7 +54,9 @@ def bbox_iou(
     SIoU: bool = False,
     EIoU: bool = False,
     Focal: bool = False,
+    alpha: float = 1.0,
     gamma: float = 0.5,
+    ciou_pow: bool = False,
     eps: float = 1e-7,
 ):
     """Elementwise IoU (broadcasting) with the reference's variant switch.
@@ -62,8 +64,14 @@ def bbox_iou(
     Boxes are ``[..., 4]``; with ``xywh=True`` they are (cx, cy, w, h).
     ``Focal=True`` additionally returns the focal weight
     ``(inter/union)**gamma`` as a second output — the reference's
-    Focal_{G,D,C,E,S}IoU variants (utils/metrics.py:263-320).  The
-    reference's alpha-IoU exponent is fixed at its default alpha=1.
+    Focal_{G,D,C,E,S}IoU variants (utils/metrics.py:263-320).  ``alpha``
+    is the alpha-IoU exponent (utils/metrics.py:259-323; alpha=3 is the
+    alpha-IoU paper setting, alpha=1 the reference default) applied to the
+    penalty terms exactly where the reference applies it per variant.
+    ``ciou_pow`` selects between the reference's two CIoU penalties:
+    classic ``v*a`` (utils/metrics2.py:285-289, the TAL path — default)
+    and the shadowed-pow variant of utils/metrics.py:270-275 (see NOTE at
+    the CIoU branch).
     """
     if xywh:
         (x1, y1, w1, h1) = jnp.split(box1, 4, axis=-1)
@@ -93,24 +101,40 @@ def bbox_iou(
     if not (GIoU or DIoU or CIoU or SIoU or EIoU):
         return _ret(iou)
 
+    def _pow(x):
+        # the alpha-IoU exponent; alpha == 1 keeps each variant literally
+        # identical to the pre-alpha expressions (and their gradients)
+        return x if alpha == 1 else x**alpha
+
     cw = jnp.maximum(b1_x2, b2_x2) - jnp.minimum(b1_x1, b2_x1)
     ch = jnp.maximum(b1_y2, b2_y2) - jnp.minimum(b1_y1, b2_y1)
     if GIoU:
         c_area = cw * ch + eps
-        return _ret(iou - (c_area - union) / c_area)
+        return _ret(iou - _pow((c_area - union) / c_area + eps))
 
-    c2 = cw**2 + ch**2 + eps
-    rho2 = ((b2_x1 + b2_x2 - b1_x1 - b1_x2) ** 2 + (b2_y1 + b2_y2 - b1_y1 - b1_y2) ** 2) / 4
+    c2 = _pow(cw**2 + ch**2) + eps
+    rho2 = _pow(
+        ((b2_x1 + b2_x2 - b1_x1 - b1_x2) ** 2 + (b2_y1 + b2_y2 - b1_y1 - b1_y2) ** 2) / 4
+    )
     if DIoU:
         return _ret(iou - rho2 / c2)
     if CIoU:
         v = (4 / math.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
-        alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
-        return _ret(iou - (rho2 / c2 + v * alpha))
+        a_ciou = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+        if ciou_pow:
+            # NOTE reference quirk (utils/metrics.py:270-275): the inner
+            # ``alpha = v / (v - iou + 1 + eps)`` SHADOWS the alpha-IoU
+            # parameter, so the aspect penalty is pow(v*a + eps, a) with
+            # the TENSOR exponent — not the classic v*a — even at alpha=1.
+            # Reproduced behind this flag (tests/test_ref_parity.py
+            # TestAlphaIoU); the default is the classic penalty, which is
+            # what the TAL path's utils/metrics2.py:285-289 computes.
+            return _ret(iou - (rho2 / c2 + (v * a_ciou + eps) ** a_ciou))
+        return _ret(iou - (rho2 / c2 + v * a_ciou))
     if EIoU:
         rho_w2 = (w2 - w1) ** 2
         rho_h2 = ((b2_y2 - b2_y1) - (b1_y2 - b1_y1)) ** 2
-        return _ret(iou - (rho2 / c2 + rho_w2 / (cw**2 + eps) + rho_h2 / (ch**2 + eps)))
+        return _ret(iou - (rho2 / c2 + rho_w2 / _pow(cw**2 + eps) + rho_h2 / _pow(ch**2 + eps)))
     # SIoU (https://arxiv.org/pdf/2205.12740) — reference utils/metrics.py:291
     s_cw = (b2_x1 + b2_x2 - b1_x1 - b1_x2) * 0.5 + eps
     s_ch = (b2_y1 + b2_y2 - b1_y1 - b1_y2) * 0.5 + eps
@@ -127,7 +151,7 @@ def bbox_iou(
     omiga_w = jnp.abs(w1 - w2) / jnp.maximum(w1, w2)
     omiga_h = jnp.abs(h1 - h2) / jnp.maximum(h1, h2)
     shape_cost = (1 - jnp.exp(-omiga_w)) ** 4 + (1 - jnp.exp(-omiga_h)) ** 4
-    return _ret(iou - 0.5 * (distance_cost + shape_cost))
+    return _ret(iou - _pow(0.5 * (distance_cost + shape_cost) + eps))
 
 
 def wiou(box1, box2, xywh: bool = True, eps: float = 1e-7):

@@ -428,6 +428,80 @@ class TestNMS:
             np.testing.assert_array_equal(o[:, 5], r[:, 5])
 
 
+class TestAlphaIoU:
+    """The alpha-IoU exponent (reference utils/metrics.py:228-326) applied
+    per variant exactly where the reference applies it — alpha=1 is the
+    reference default, alpha=3 the alpha-IoU paper setting."""
+
+    @pytest.mark.parametrize("kind", ["GIoU", "DIoU", "CIoU", "EIoU", "SIoU"])
+    @pytest.mark.parametrize("alpha", [1.0, 3.0])
+    def test_alpha_exponent_matches_reference(self, kind, alpha):
+        rmet = ref_loader.load("utils.metrics")
+        from ecs_yolo_tpu.ops.boxes import bbox_iou
+
+        rng = np.random.RandomState(3)
+        # xywh boxes, positive extents
+        def boxes(n):
+            cxy = rng.rand(n, 2) * 60 + 20
+            wh = rng.rand(n, 2) * 35 + 5
+            return np.concatenate([cxy, wh], -1).astype(np.float32)
+
+        b1, b2 = boxes(1)[0], boxes(12)
+        ref = rmet.bbox_iou(
+            torch.tensor(b1), torch.tensor(b2),
+            x1y1x2y2=False, alpha=alpha, **{kind: True},
+        )
+        # utils/metrics.py's CIoU is the shadowed-pow variant (see the NOTE
+        # in ops/boxes.py) — select it to match that module's semantics
+        ours = bbox_iou(
+            jnp.asarray(b1), jnp.asarray(b2), xywh=True, alpha=alpha,
+            ciou_pow=(kind == "CIoU"), **{kind: True},
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.numpy().reshape(-1), rtol=2e-5, atol=1e-6
+        )
+
+    def test_classic_ciou_matches_metrics2(self):
+        """The TAL path's CIoU (utils/metrics2.py:285-289) — the default."""
+        rmet2 = ref_loader.load("utils.metrics2")
+        from ecs_yolo_tpu.ops.boxes import bbox_iou
+
+        rng = np.random.RandomState(11)
+        cxy = rng.rand(10, 2) * 60 + 20
+        wh = rng.rand(10, 2) * 35 + 5
+        b = np.concatenate([cxy, wh], -1).astype(np.float32)
+        ref = rmet2.bbox_iou(
+            torch.tensor(b[:1]), torch.tensor(b), xywh=True, CIoU=True
+        )
+        ours = bbox_iou(jnp.asarray(b[0]), jnp.asarray(b), xywh=True, CIoU=True)
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.numpy().reshape(-1), rtol=2e-5, atol=1e-6
+        )
+
+    def test_focal_alpha_matches_reference(self):
+        rmet = ref_loader.load("utils.metrics")
+        from ecs_yolo_tpu.ops.boxes import bbox_iou
+
+        rng = np.random.RandomState(7)
+        cxy = rng.rand(8, 2) * 60 + 20
+        wh = rng.rand(8, 2) * 35 + 5
+        b = np.concatenate([cxy, wh], -1).astype(np.float32)
+        ref_iou, ref_w = rmet.bbox_iou(
+            torch.tensor(b[0]), torch.tensor(b),
+            x1y1x2y2=False, SIoU=True, Focal=True, alpha=3.0,
+        )
+        iou, w = bbox_iou(
+            jnp.asarray(b[0]), jnp.asarray(b), xywh=True,
+            SIoU=True, Focal=True, alpha=3.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(iou), ref_iou.numpy().reshape(-1), rtol=2e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(w), ref_w.numpy().reshape(-1), rtol=2e-5, atol=1e-6
+        )
+
+
 # ---------------------------------------------------------------------------
 # Full model: reference Model state_dict -> torch_import -> forward parity
 # ---------------------------------------------------------------------------
