@@ -74,6 +74,14 @@ class SNNConfig:
     # forward's weight gradients.  Event-mode (5-D) input is genuinely
     # T-varying and bypasses this automatically.
     stem_dedup: bool = True
+    # closed-form BN training backward (nn/bn_vjp.py): pins the BN residual
+    # set to the bf16 activation + [C] stats instead of letting XLA's AD
+    # materialize full-size fp32 intermediates, with the same mesh-invariant
+    # per-sample/tree reductions in the backward.  Identical math to AD up
+    # to float reassociation (ulps); 1-vs-N parity unaffected (both sides
+    # use the same fold).  Measured on v5e before defaulting ON — see
+    # docs/DESIGN.md round-4.
+    bn_custom_vjp: bool = False
     # selective rematerialization: checkpoint ONLY the neuron recurrences
     # (the T-step scan materializes ~3 state tensors per step per site for
     # the backward — the dominant training-memory term).  Much cheaper to

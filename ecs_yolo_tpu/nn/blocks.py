@@ -51,13 +51,21 @@ def _tree_fold_sum(x: jax.Array) -> jax.Array:
     Heaviside then amplifies that to 0.3% of loss).  Spelling the fold as
     explicit pairwise adds pins the float reassociation, so a batch-sharded
     reduction is bit-identical to the single-device one on any mesh.
+
+    Each level pairs (x[2i], x[2i+1]) via a reshape — NOT strided slices:
+    a stride-2 slice along the leading (sublane-tiled) axis lowers to a
+    gather on TPU (round-4 HLO audit found 72 such gather fusions in one
+    p1 backward), while reshape+size-2-sum is layout-friendly and has the
+    identical (deterministic) pairing.
     """
     while x.shape[0] > 1:
         n = x.shape[0]
         half = n // 2
-        y = x[: 2 * half : 2] + x[1 : 2 * half : 2]
+        tail = x[2 * half :]  # odd leftover rides along unfolded
+        r = x[: 2 * half].reshape(half, 2, *x.shape[1:])
+        y = r[:, 0] + r[:, 1]
         if n % 2:
-            y = jnp.concatenate([y, x[n - 1 :]], axis=0)
+            y = jnp.concatenate([y, tail], axis=0)
         x = y
     return x[0]
 
@@ -206,14 +214,14 @@ class TBatchNorm(nn.Module):
         if self.packed > 1:
             bn = _PackedBN(
                 c=x.shape[-1] // self.packed, f=self.packed, gamma0=gamma0,
-                name="bn",
+                custom_vjp=self.snn.bn_custom_vjp, name="bn",
             )
             in_dtype = x.dtype
             if x.ndim == 5:
                 y, t = fold_t(x)
                 return unfold_t(bn(y, training).astype(in_dtype), t)
             return bn(x, training).astype(in_dtype)
-        bn = _DetBN(gamma0=gamma0, name="bn")
+        bn = _DetBN(gamma0=gamma0, custom_vjp=self.snn.bn_custom_vjp, name="bn")
         in_dtype = x.dtype
         if x.ndim == 5:
             y, t = fold_t(x)
@@ -238,6 +246,7 @@ class _DetBN(nn.Module):
     gamma0: float
     momentum: float = 0.9
     eps: float = 1e-5
+    custom_vjp: bool = False  # closed-form training backward (nn/bn_vjp.py)
 
     @nn.compact
     def __call__(self, y: jax.Array, training: bool) -> jax.Array:
@@ -253,6 +262,18 @@ class _DetBN(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
         dt = jnp.promote_types(y.dtype, jnp.float32)
+        if training and self.custom_vjp:
+            from .bn_vjp import bn_train_norm
+
+            out, m, v = bn_train_norm(y, scale, bias, self.eps, 1)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * m
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * v
+                )
+            return out
         yf = y.astype(dt)
         if training:
             m, v = _det_batch_moments(yf)
@@ -286,6 +307,7 @@ class _PackedBN(nn.Module):
     gamma0: float
     momentum: float = 0.9
     eps: float = 1e-5
+    custom_vjp: bool = False  # closed-form training backward (nn/bn_vjp.py)
 
     @nn.compact
     def __call__(self, y: jax.Array, training: bool) -> jax.Array:
@@ -300,6 +322,18 @@ class _PackedBN(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((self.c,), jnp.float32)
         )
+        if training and self.custom_vjp:
+            from .bn_vjp import bn_train_norm
+
+            out, m, v = bn_train_norm(y, scale, bias, self.eps, self.f)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * m
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * v
+                )
+            return out
         yf = y.astype(jnp.promote_types(y.dtype, jnp.float32))
         if training:
             # deterministic (mesh-invariant) moments, see _det_batch_moments:

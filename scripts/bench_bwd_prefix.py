@@ -18,7 +18,11 @@ BENCH_FREEZE_STEM (0; "1"/"all" = freeze all stem params, "conv" = freeze
 only the stem conv kernel, "bn" = freeze only the stem BN scale/bias; the
 deltas vs the unfrozen run pin WHICH stem-related backward op carries the
 cost — the isolated stem wgrad measured only ~4 ms, so the 40 ms frozen-
-stem delta needs a finer split).
+stem delta needs a finer split) / BENCH_PACKED (1) and BENCH_DEDUP (1) to
+toggle the packed_c64 / stem_dedup production knobs (bisects whether the
+frozen-stem delta rides the packed layout or the T-dedup broadcast) /
+BENCH_DUMP_HLO (path prefix; AOT-dumps the optimized HLO per prefix
+instead of benching — for op-level attribution of the backward).
 """
 
 import os
@@ -60,7 +64,12 @@ def prefix_cfg(k: int):
 
 
 def bench_prefix(k: int):
-    snn = SNNConfig(time_window=4)
+    snn = SNNConfig(
+        time_window=4,
+        packed_c64=os.environ.get("BENCH_PACKED", "1") == "1",
+        stem_dedup=os.environ.get("BENCH_DEDUP", "1") == "1",
+        bn_custom_vjp=os.environ.get("BENCH_BNVJP", "0") == "1",
+    )
     model = build_model(prefix_cfg(k), nc=13, snn=snn)
     variables = model.init(jax.random.PRNGKey(0), imgsz=64)
     params, bstats = variables["params"], variables["batch_stats"]
@@ -135,6 +144,17 @@ def bench_prefix(k: int):
             return ss
         carry = bstats
         label = f"p{k} fwd"
+
+    dump = os.environ.get("BENCH_DUMP_HLO", "")
+    if dump:
+        compiled = chained.lower(carry, xstack[:1]).compile()
+        path = f"{dump}_{label.replace(' ', '_')}.txt"
+        Path(path).write_text(compiled.as_text())
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        print(f"{label}: HLO -> {path}  flops={ca.get('flops', 0):.3e} "
+              f"bytes={ca.get('bytes accessed', 0):.3e}", flush=True)
+        return 0.0
 
     def run(xsk):
         # force a SCALAR TRANSFER: through the axon tunnel

@@ -37,7 +37,11 @@ dtype = jnp.float32 if mode.startswith("fp32") else jnp.bfloat16
 remat_all = mode.endswith("_remat") or mode.endswith("_full")
 remat_neuron = mode.endswith("_neuron")
 
-snn = SNNConfig(time_window=4, remat_neuron=remat_neuron)
+snn = SNNConfig(
+    time_window=4,
+    remat_neuron=remat_neuron,
+    bn_custom_vjp=os.environ.get("BENCH_BNVJP", "0") == "1",
+)
 model = build_model(CFG, nc=NC, snn=snn, remat=remat_all)
 variables = model.init(jax.random.PRNGKey(0), imgsz=64)
 tx = build_optimizer(variables["params"], epochs=3, steps_per_epoch=10)
