@@ -79,9 +79,10 @@ class SNNConfig:
     # materialize full-size fp32 intermediates, with the same mesh-invariant
     # per-sample/tree reductions in the backward.  Identical math to AD up
     # to float reassociation (ulps); 1-vs-N parity unaffected (both sides
-    # use the same fold).  Measured on v5e before defaulting ON — see
-    # docs/DESIGN.md round-4.
-    bn_custom_vjp: bool = False
+    # use the same fold; tests/test_bn_vjp.py).  Measured on v5e (round 4):
+    # p1-prefix grad 165.2 -> 160.4 ms, full res10@640 b16 train step
+    # 71.2 -> 71.65 img/s.  Default ON.
+    bn_custom_vjp: bool = True
     # selective rematerialization: checkpoint ONLY the neuron recurrences
     # (the T-step scan materializes ~3 state tensors per step per site for
     # the backward — the dominant training-memory term).  Much cheaper to

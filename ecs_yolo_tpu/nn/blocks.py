@@ -479,12 +479,31 @@ class Pools(nn.Module):
         return unfold_t(y, t)
 
 
+import os as _os
+
+#: first-match custom-VJP 2x2 pool (nn/pool_vjp.py): torch-exact tie routing
+#: in both window dimensions and a recompute backward.  MEASURED SLOWER than
+#: reduce_window on v5e (round 4: res10@640 b16 train 71.65 -> 68.73 img/s,
+#: res34 train 46.3 -> 45.5, res34 inference 177.2 -> 169.4 — the reshape-
+#: paired slices and half-lane channel splits lower worse than the
+#: reduce_window kernel despite its pad+maximum backward chain), so the
+#: default stays reduce_window; ECS_POOL_VJP=1 opts into the torch-exact
+#: tie routing (the reduce_window path splits width-direction ties 0.5/0.5
+#: in the packed layout — see docs/DESIGN.md numerics).
+_POOL_FIRST_MATCH = _os.environ.get("ECS_POOL_VJP", "0") == "1"
+
+
 def max_pool_t(x: jax.Array, s: int) -> jax.Array:
     """MaxPool3d((1,s,s), stride=(1,s,s)) on [T,N,H,W,C] — the EMS shortcut
     downsampler (reference models/common.py:1068, 1211, 1486)."""
     if s == 1:
         return x
     y, t = fold_t(x)
+    if (_POOL_FIRST_MATCH and s == 2
+            and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0):
+        from .pool_vjp import max_pool22_first
+
+        return unfold_t(max_pool22_first(y), t)
     y = nn.max_pool(y, window_shape=(s, s), strides=(s, s))
     return unfold_t(y, t)
 
@@ -499,6 +518,10 @@ def max_pool_t_packed(x: jax.Array, s: int, f: int) -> jax.Array:
     """
     assert s == f == 2, "packed pooling supports s == f == 2"
     y, t = fold_t(x)
+    if _POOL_FIRST_MATCH and y.shape[1] % 2 == 0:
+        from .pool_vjp import max_pool22_first_packed
+
+        return unfold_t(max_pool22_first_packed(y), t)
     c = y.shape[-1] // f
     m = jnp.maximum(y[..., :c], y[..., c:])
     m = nn.max_pool(m, window_shape=(s, 1), strides=(s, 1))

@@ -124,48 +124,47 @@ def bench_site(name):
         s = jnp.sum(jnp.square(out.astype(jnp.float32)))
         return s, upd.get("batch_stats", bs)
 
-    xstack = jnp.stack([x0 + CD(i * 1e-3) for i in range(ITERS)])
-
+    # iteration inputs are derived IN-GRAPH (x0 * (1 + i*1e-4)): a host-side
+    # stack of N full-size activations OOMs the chip at the 320px shapes
     if GRAD:
         @jax.jit
-        def chained(carry, xsk):
-            def body(c, x):
+        def chained(carry, x0, scales):
+            def body(c, sc):
                 p, bs = c
                 (s, bs2), g = jax.value_and_grad(
-                    forward, argnums=(0, 2), has_aux=True)(p, bs, x)
+                    forward, argnums=(0, 2), has_aux=True)(p, bs, x0 * sc)
                 gp, gx = g
                 p2 = jax.tree_util.tree_map(
                     lambda a, b: a - 1e-9 * b.astype(a.dtype), p, gp)
                 return (p2, bs2), s + jnp.sum(gx.astype(jnp.float32)[:1, :1])
-            c, ss = jax.lax.scan(body, carry, xsk)
+            c, ss = jax.lax.scan(body, carry, scales)
             return ss
         label = f"{name} grad"
     else:
         @jax.jit
-        def chained(carry, xsk):
-            def body(bs, x):
-                s, bs2 = forward(params, bs, x)
+        def chained(carry, x0, scales):
+            def body(bs, sc):
+                s, bs2 = forward(params, bs, x0 * sc)
                 return bs2, s
-            bs, ss = jax.lax.scan(body, carry, xsk)
+            bs, ss = jax.lax.scan(body, carry, scales)
             return ss
         label = f"{name} fwd"
 
     carry = (params, bstats) if GRAD else bstats
 
-    def run(xsk):
-        return float(np.asarray(chained(carry, xsk)).sum())
+    def run(x, scales):
+        return float(np.asarray(chained(carry, x, scales)).sum())
 
     times = {}
     for n in (1, ITERS + 1):
-        xs = [jnp.concatenate(
-                  [xstack + CD(i * 1e-4)] * ((n + ITERS - 1) // ITERS))[:n]
-              for i in (1, 2)]
+        # distinct values per call — the remote-exec layer memoizes
+        scs = [jnp.linspace(1.0, 1.0 + 1e-3 * j, n).astype(CD)
+               for j in (1, 2)]
         t0 = time.perf_counter()
-        run(xs[0])
+        run(x0, scs[0])
         tc = time.perf_counter() - t0
         t0 = time.perf_counter()
-        times[n] = None
-        run(xs[1])
+        run(x0, scs[1])
         times[n] = time.perf_counter() - t0
         print(f"  {label} trip={n}: compile+run {tc:.1f}s warm {times[n]:.3f}s",
               flush=True)
