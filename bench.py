@@ -41,7 +41,14 @@ def main():
 
     from ecs_yolo_tpu.models.yolo import build_model
 
-    model = build_model(CFG, nc=NC)
+    snn_kw = {}
+    if "BENCH_INT8SPK" in os.environ:  # A/B the int8 spike transport
+        from ecs_yolo_tpu.config import SNNConfig
+
+        snn_kw["snn"] = SNNConfig(
+            int8_spike_transport=os.environ["BENCH_INT8SPK"] == "1"
+        )
+    model = build_model(CFG, nc=NC, **snn_kw)
     variables = model.init(jax.random.PRNGKey(0), imgsz=64)
 
     if os.environ.get("BENCH_FUSE", "0") == "1":

@@ -83,6 +83,15 @@ class SNNConfig:
     # p1-prefix grad 165.2 -> 160.4 ms, full res10@640 b16 train step
     # 71.2 -> 71.65 img/s.  Default ON.
     bn_custom_vjp: bool = True
+    # int8 spike transport (nn/spike_conv.py): spike-fed convolutions
+    # materialize their binary input as int8 inside a custom_vjp — the
+    # convert fuses into the conv read (isolated conv +23%,
+    # scripts/bench_int8_spike_conv.py) and the wgrad residual halves.
+    # Exact (int8 round-trip of {0,1}) with unchanged reduction semantics.
+    # Applied where binariness is structural: the EMS block convs fed by
+    # Heaviside MemUpdate outputs and the ECS spread convs (act=False
+    # sites only).  Measured on v5e before defaulting — docs/DESIGN.md.
+    int8_spike_transport: bool = False
     # selective rematerialization: checkpoint ONLY the neuron recurrences
     # (the T-step scan materializes ~3 state tensors per step per site for
     # the backward — the dominant training-memory term).  Much cheaper to

@@ -98,6 +98,7 @@ class _PackedConvCore(nn.Module):
     use_bias: bool
     packed_in: int
     packed_out: int
+    spike_input: bool = False  # input is a binary Heaviside output
 
     @nn.compact
     def __call__(self, y: jax.Array) -> jax.Array:
@@ -120,19 +121,62 @@ class _PackedConvCore(nn.Module):
         else:              # stage exit: packed -> unpacked (needs s == f)
             assert s == f_in, (s, f_in)
             K, ws, wpad = pack_exit_kernel(kernel, f_in)
-        out = jax.lax.conv_general_dilated(
-            y,
-            K.astype(y.dtype),
-            (s, ws),
-            [(kh // 2, kh // 2), wpad],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.spike_input:
+            from .spike_conv import binary_input_conv
+
+            out = binary_input_conv(
+                y,
+                K.astype(y.dtype),
+                (s, ws),
+                ((kh // 2, kh // 2), tuple(wpad)),
+            )
+        else:
+            out = jax.lax.conv_general_dilated(
+                y,
+                K.astype(y.dtype),
+                (s, ws),
+                [(kh // 2, kh // 2), wpad],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", make_bias_init(self.ci * kh * kw), (self.c2,)
             )
             b = jnp.tile(bias, f_out) if f_out > 1 else bias
             out = out + b.astype(out.dtype)
+        return out
+
+
+class _BinConvCore(nn.Module):
+    """Unpacked conv over a BINARY (spike) input via int8 transport
+    (nn/spike_conv.py).  Same param names/shapes/inits as the ``nn.Conv``
+    it replaces ("kernel"/"bias" under the ``conv`` scope) — checkpoints
+    are knob-agnostic."""
+
+    c2: int
+    k: Tuple[int, int]
+    s: Tuple[int, int]
+    pad: Tuple[Tuple[int, int], Tuple[int, int]]
+    g: int
+    use_bias: bool
+    fan_in: int
+
+    @nn.compact
+    def __call__(self, y: jax.Array) -> jax.Array:
+        from .spike_conv import binary_input_conv
+
+        kh, kw = self.k
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init,
+            (kh, kw, y.shape[-1] // self.g, self.c2),
+        )
+        out = binary_input_conv(
+            y, kernel.astype(y.dtype), tuple(self.s), tuple(self.pad),
+            ("NHWC", "HWIO", "NHWC"), self.g,
+        )
+        if self.use_bias:
+            bias = self.param("bias", make_bias_init(self.fan_in), (self.c2,))
+            out = out + bias.astype(out.dtype)
         return out
 
 
@@ -157,6 +201,7 @@ class SnnConv(nn.Module):
     kernel_init: Any = None  # override (e.g. zeros for AKConv offsets)
     packed_in: int = 1
     packed_out: int = 1
+    spike_input: bool = False  # input is binary -> int8 transport (spike_conv)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -170,7 +215,16 @@ class SnnConv(nn.Module):
             conv = _PackedConvCore(
                 c2=self.c2, k=k, s=_pair(self.s)[0], ci=ci,
                 use_bias=self.use_bias, packed_in=self.packed_in,
-                packed_out=self.packed_out, name="conv",
+                packed_out=self.packed_out, spike_input=self.spike_input,
+                name="conv",
+            )
+        elif self.spike_input and self.dilation == 1:
+            p = _pair(autopad(self.k, self.p))
+            fan_in = (x.shape[-1] // self.g) * k[0] * k[1]
+            conv = _BinConvCore(
+                c2=self.c2, k=k, s=_pair(self.s),
+                pad=((p[0], p[0]), (p[1], p[1])), g=self.g,
+                use_bias=self.use_bias, fan_in=fan_in, name="conv",
             )
         else:
             p = autopad(self.k, self.p)
@@ -409,6 +463,10 @@ class MemUpdate(nn.Module):
 
         f = pack_factor(c, x.shape[-2]) if self.snn.packed_spread else 1
 
+        # int8 spike transport applies when the scan emits Heaviside
+        # spikes (act=False) — the spread conv input is then binary
+        use8 = self.snn.int8_spike_transport and not self.act
+
         def _scan(x, dwk, dwbias, pwk, pwbias):
             dtype = x.dtype
 
@@ -421,7 +479,8 @@ class MemUpdate(nn.Module):
                 )
                 return ecs_lif_scan(
                     x,
-                    packed_spread_fn(kp.astype(dtype), bp.astype(dtype)),
+                    packed_spread_fn(kp.astype(dtype), bp.astype(dtype),
+                                     int8_spikes=use8),
                     self.snn,
                     act=self.act,
                 )
@@ -430,18 +489,27 @@ class MemUpdate(nn.Module):
                 kp, bp = build_packed_spread(dwk, dwbias, pwk, pwbias, f)
                 sp = ecs_lif_scan(
                     pack_w(x, f),
-                    packed_spread_fn(kp.astype(dtype), bp.astype(dtype)),
+                    packed_spread_fn(kp.astype(dtype), bp.astype(dtype),
+                                     int8_spikes=use8),
                     self.snn,
                     act=self.act,
                 )
                 return unpack_w(sp, f)
 
             def spread(s: jax.Array) -> jax.Array:
-                d = jax.lax.conv_general_dilated(
-                    s, dwk.astype(dtype), (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    feature_group_count=c,
-                ) + dwbias.astype(dtype)
+                if use8:
+                    from .spike_conv import binary_input_conv
+
+                    d = binary_input_conv(
+                        s, dwk.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+                        ("NHWC", "HWIO", "NHWC"), c,
+                    ) + dwbias.astype(dtype)
+                else:
+                    d = jax.lax.conv_general_dilated(
+                        s, dwk.astype(dtype), (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        feature_group_count=c,
+                    ) + dwbias.astype(dtype)
                 return jax.lax.conv_general_dilated(
                     d, pwk.astype(dtype), (1, 1), "SAME",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -792,16 +860,17 @@ class BasicBlock_1(nn.Module):
     def __call__(self, x, training: bool = False):
         c1 = x.shape[-1]
         c_ = 1024
+        spk = self.snn.int8_spike_transport  # conv inputs below are spikes
         y = MemUpdate(act=False, snn=self.snn, name="act1")(x, training)
-        y = SnnConv(c_, 3, self.s, name="conv1")(y)
+        y = SnnConv(c_, 3, self.s, spike_input=spk, name="conv1")(y)
         y = TBatchNorm(1.0, self.snn, name="bn1")(y, training)
         y = MemUpdate(act=False, snn=self.snn, name="act2")(y, training)
-        y = SnnConv(self.c2, 3, 1, name="conv2")(y)
+        y = SnnConv(self.c2, 3, 1, spike_input=spk, name="conv2")(y)
         y = TBatchNorm(0.2, self.snn, name="bn2")(y, training)
         if self.s != 1 or c1 != self.c2:
             sc = max_pool_t(x, self.s)
             sc = MemUpdate(act=False, snn=self.snn, name="sc_act")(sc, training)
-            sc = SnnConv(self.c2, 1, 1, name="sc_conv")(sc)
+            sc = SnnConv(self.c2, 1, 1, spike_input=spk, name="sc_conv")(sc)
             sc = TBatchNorm(1.0, self.snn, name="sc_bn")(sc, training)
         else:
             sc = x
@@ -827,17 +896,18 @@ class BasicBlock_2(nn.Module):
         f_in, f_out = self.packed_in, self.packed_out
         c1 = x.shape[-1] // f_in
         pad = 1 if self.k == 3 else 0
+        spk = self.snn.int8_spike_transport  # conv inputs below are spikes
         y = MemUpdate(act=False, snn=self.snn, packed=f_in,
                       name="act1")(x, training)
         # conv1 is where a packed stage may END (packed->unpacked exit,
         # free when s == f): packed_out drives everything downstream
         y = SnnConv(self.c2, self.k, self.s, pad, packed_in=f_in,
-                    packed_out=f_out, name="conv1")(y)
+                    packed_out=f_out, spike_input=spk, name="conv1")(y)
         y = TBatchNorm(1.0, self.snn, packed=f_out, name="bn1")(y, training)
         y = MemUpdate(act=False, snn=self.snn, packed=f_out,
                       name="act2")(y, training)
         y = SnnConv(self.c2, self.k, 1, pad, packed_in=f_out,
-                    packed_out=f_out, name="conv2")(y)
+                    packed_out=f_out, spike_input=spk, name="conv2")(y)
         y = TBatchNorm(0.2, self.snn, packed=f_out, name="bn2")(y, training)
         if self.s != 1 or c1 != self.c2:
             if f_in > 1:
@@ -850,7 +920,7 @@ class BasicBlock_2(nn.Module):
             sc = MemUpdate(act=False, snn=self.snn, packed=f_out,
                            name="sc_act")(sc, training)
             sc = SnnConv(self.c2, 1, 1, packed_in=f_out, packed_out=f_out,
-                         name="sc_conv")(sc)
+                         spike_input=spk, name="sc_conv")(sc)
             sc = TBatchNorm(1.0, self.snn, packed=f_out,
                             name="sc_bn")(sc, training)
         else:
@@ -876,20 +946,22 @@ class Concat_res2(nn.Module):
         f_in = self.packed_in
         c1 = x.shape[-1] // f_in
         pad = 1 if self.k == 3 else 0
+        spk = self.snn.int8_spike_transport  # conv inputs below are spikes
         y = MemUpdate(act=False, snn=self.snn, packed=f_in,
                       name="act1")(x, training)
         y = SnnConv(self.c2, self.k, self.s, pad, packed_in=f_in,
-                    packed_out=1, name="conv1")(y)
+                    packed_out=1, spike_input=spk, name="conv1")(y)
         y = TBatchNorm(1.0, self.snn, name="bn1")(y, training)
         y = MemUpdate(act=False, snn=self.snn, name="act2")(y, training)
-        y = SnnConv(self.c2, self.k, 1, pad, name="conv2")(y)
+        y = SnnConv(self.c2, self.k, 1, pad, spike_input=spk,
+                    name="conv2")(y)
         y = TBatchNorm(0.2, self.snn, name="bn2")(y, training)
 
         if c1 < self.c2:
             t = MemUpdate(act=False, snn=self.snn, packed=f_in,
                           name="sc_act")(x, training)
             t = SnnConv(self.c2 - c1, 1, 1, packed_in=f_in, packed_out=f_in,
-                        name="sc_conv")(t)
+                        spike_input=spk, name="sc_conv")(t)
             t = TBatchNorm(1.0, self.snn, packed=f_in,
                            name="sc_bn")(t, training)
             if f_in > 1:

@@ -78,10 +78,24 @@ def unpack_w(x: jax.Array, f: int) -> jax.Array:
     return x.reshape(*lead, w2 * f, fc // f)
 
 
-def packed_spread_fn(kernel: jax.Array, bias: jax.Array):
-    """Spread closure over the packed layout (input [N, H, W//f, f*C])."""
+def packed_spread_fn(kernel: jax.Array, bias: jax.Array,
+                     int8_spikes: bool = False):
+    """Spread closure over the packed layout (input [N, H, W//f, f*C]).
+
+    ``int8_spikes``: the input is a binary Heaviside output — transport it
+    as int8 through the conv (nn/spike_conv.py; exact, halves the input
+    read and the wgrad residual)."""
+    kh, kw = kernel.shape[:2]
+    # stride-1 "SAME" as explicit (lo, hi) — correct for even kernels too
+    same = tuple(((k - 1) // 2, k - 1 - (k - 1) // 2) for k in (kh, kw))
 
     def spread(s: jax.Array) -> jax.Array:
+        if int8_spikes:
+            from ..nn.spike_conv import binary_input_conv
+
+            return binary_input_conv(
+                s, kernel.astype(s.dtype), (1, 1), same,
+            ) + bias.astype(s.dtype)
         return lax.conv_general_dilated(
             s, kernel.astype(s.dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -40,7 +40,9 @@ remat_neuron = mode.endswith("_neuron")
 snn = SNNConfig(
     time_window=4,
     remat_neuron=remat_neuron,
-    bn_custom_vjp=os.environ.get("BENCH_BNVJP", "0") == "1",
+    # defaults track SNNConfig's production defaults; override for A/B
+    bn_custom_vjp=os.environ.get("BENCH_BNVJP", "1") == "1",
+    int8_spike_transport=os.environ.get("BENCH_INT8SPK", "0") == "1",
 )
 model = build_model(CFG, nc=NC, snn=snn, remat=remat_all)
 variables = model.init(jax.random.PRNGKey(0), imgsz=64)
