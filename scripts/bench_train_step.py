@@ -42,7 +42,7 @@ snn = SNNConfig(
     remat_neuron=remat_neuron,
     # defaults track SNNConfig's production defaults; override for A/B
     bn_custom_vjp=os.environ.get("BENCH_BNVJP", "1") == "1",
-    int8_spike_transport=os.environ.get("BENCH_INT8SPK", "0") == "1",
+    int8_spike_transport=os.environ.get("BENCH_INT8SPK", "1") == "1",
 )
 model = build_model(CFG, nc=NC, snn=snn, remat=remat_all)
 variables = model.init(jax.random.PRNGKey(0), imgsz=64)
