@@ -103,6 +103,27 @@ def main():
     dt = tn - t1
 
     imgs_per_sec = BATCH * ITERS / dt
+
+    # roofline context (VERDICT r4 item 9): XLA's own FLOP/byte counts for
+    # the measured graph / v5e peaks (197 TFLOP/s bf16, 819 GB/s HBM).
+    # lowered.cost_analysis() is client-side (no second device compile).
+    extra = {}
+    try:
+        def fwd(xx):
+            z, _ = model.module.apply(variables, xx, training=False)
+            return z
+
+        cost = jax.jit(fwd).lower(x).cost_analysis() or {}
+        flops = float(cost.get("flops", 0.0))
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+        batches_per_sec = imgs_per_sec / BATCH
+        if flops > 0:
+            extra["mfu"] = round(flops * batches_per_sec / 197e12, 4)
+        if bytes_acc > 0:
+            extra["hbm_util"] = round(bytes_acc * batches_per_sec / 819e9, 4)
+    except Exception:
+        pass  # cost analysis is best-effort context, never a bench failure
+
     print(
         json.dumps(
             {
@@ -112,6 +133,7 @@ def main():
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / REF_GPU_IMGS_PER_SEC, 2),
+                **extra,
             }
         )
     )

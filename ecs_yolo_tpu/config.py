@@ -93,6 +93,27 @@ class SNNConfig:
     # sites only).  Measured on v5e (round 4): res10@640 b16 train step
     # 70.0 -> 75.05 img/s (+7.2%, in-graph).  Default ON.
     int8_spike_transport: bool = True
+    # int8 reset-gate residual (snn/neuron.py _reset_decay): the membrane
+    # reset gate (1 - spike_prev) is binary with a stop-gradient'd spike
+    # cotangent, yet plain AD saves it bf16 at every neuron site and
+    # T-step; a custom_vjp saves it int8 instead (exact for Heaviside
+    # sites; SiLU sites keep plain AD; bitwise parity tests in
+    # tests/test_snn.py).  MEASURED NEGATIVE on v5e (round 5): the
+    # custom_vjp boundary forces the gated-decay product to materialize
+    # per step per site (XLA can no longer fuse the membrane chain and
+    # pick its own minimal residual set) — res10@640 b16 no-remat OOMs
+    # where the plain path trains at 75.05 img/s.  Same lesson as the
+    # first-match pool VJP: a smaller residual inside a fusion-breaking
+    # boundary can cost more than it saves.  Kept opt-in.
+    int8_reset_gate: bool = False
+    # Pallas int8-read depthwise spread (snn/pallas_dw.py): the unpacked
+    # ECS sites' dw3x3 runs as a Pallas VPU kernel reading the binary
+    # spike plane as int8 (XLA's grouped-conv lowering measured ~3.7x off
+    # its traffic bound).  Backward = exact XLA dgrad/wgrad from the
+    # int8-saved input (reduction semantics unchanged).  Default follows
+    # the measured full-step A/B (scripts/bench_train_step.py
+    # BENCH_PALLASDW).
+    pallas_dw_spread: bool = False
     # selective rematerialization: checkpoint ONLY the neuron recurrences
     # (the T-step scan materializes ~3 state tensors per step per site for
     # the backward — the dominant training-memory term).  Much cheaper to

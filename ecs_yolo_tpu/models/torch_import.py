@@ -113,6 +113,36 @@ def build_mapping(spec) -> Dict[str, Tuple[str, str]]:
                     "params", f"{base_o}/w{li}/w"
                 )
             continue
+        if name == "DDetect":
+            # reference models/yolo_snn.py:83-139: cv2/cv3 ModuleLists of
+            # Sequential(Conv_B, Conv_B, Snn_Conv2d); our nn/heads.py towers
+            # use matching child names cv2_{li}/{0,1,2}.  The DFL conv is a
+            # frozen arange — identical by construction on both sides.
+            nl = len(f) if isinstance(f, (list, tuple)) else 1
+            for li in range(nl):
+                for br in ("cv2", "cv3"):
+                    for j in (0, 1):  # Conv_B: act (mem) -> conv -> bn
+                        t = f"{base_t}.{br}.{li}.{j}"
+                        o = f"{base_o}/{br}_{li}/{j}"
+                        for ts, os_ in (
+                            (f"{t}.act.spread.0.weight", f"{o}/act/spread_dw_kernel"),
+                            (f"{t}.act.spread.0.bias", f"{o}/act/spread_dw_bias"),
+                            (f"{t}.act.spread.1.weight", f"{o}/act/spread_pw_kernel"),
+                            (f"{t}.act.spread.1.bias", f"{o}/act/spread_pw_bias"),
+                            (f"{t}.conv.weight", f"{o}/conv/conv/kernel"),
+                        ):
+                            mapping[ts] = ("params", os_)
+                        mapping[f"{t}.bn.bn.weight"] = ("params", f"{o}/bn/scale")
+                        mapping[f"{t}.bn.bn.bias"] = ("params", f"{o}/bn/bias")
+                        mapping[f"{t}.bn.bn.running_mean"] = (
+                            "batch_stats", f"{o}/bn/mean")
+                        mapping[f"{t}.bn.bn.running_var"] = (
+                            "batch_stats", f"{o}/bn/var")
+                    mapping[f"{base_t}.{br}.{li}.2.weight"] = (
+                        "params", f"{base_o}/{br}_{li}/2/conv/kernel")
+                    mapping[f"{base_t}.{br}.{li}.2.bias"] = (
+                        "params", f"{base_o}/{br}_{li}/2/conv/bias")
+            continue
         for t_sub, o_sub in _seq_names(name):
             coll = "batch_stats" if o_sub.startswith("stats:") else "params"
             o_sub = o_sub.replace("stats:", "")

@@ -218,7 +218,12 @@ class SnnConv(nn.Module):
                 packed_out=self.packed_out, spike_input=self.spike_input,
                 name="conv",
             )
-        elif self.spike_input and self.dilation == 1:
+        elif (self.spike_input and self.dilation == 1
+              and self.kernel_init is None):
+            # _BinConvCore hardcodes the torch-default initializer; a caller
+            # combining spike_input with a custom kernel_init (e.g. zero-init
+            # offset convs) falls through to the plain path so the override
+            # is honored (ADVICE r4)
             p = _pair(autopad(self.k, self.p))
             fan_in = (x.shape[-1] // self.g) * k[0] * k[1]
             conv = _BinConvCore(
@@ -497,7 +502,14 @@ class MemUpdate(nn.Module):
                 return unpack_w(sp, f)
 
             def spread(s: jax.Array) -> jax.Array:
-                if use8:
+                if use8 and self.snn.pallas_dw_spread:
+                    # Pallas int8-read dw kernel (round 5) — bias fused
+                    from ..snn.pallas_dw import binary_dw3_conv
+
+                    d = binary_dw3_conv(
+                        s, dwk.astype(dtype), dwbias.astype(dtype)
+                    )
+                elif use8:
                     from .spike_conv import binary_input_conv
 
                     d = binary_input_conv(

@@ -6,9 +6,10 @@ ConcatBlock_ms, PartialConv / FasterNetBlock, ELA, ScConv (SRU+CRU), CoT,
 DualConv, HGBlock, MobileNetV3, ContextGuideFusionModule, TransformerBlock /
 C3TR.  File:line cites refer to reference models/common.py.
 
-Deviation note: Concat_res5's AKConv (:4055, deformable sampling with
-data-dependent gathers) is replaced by its standard-conv equivalent — the
-dynamic gather pattern defeats XLA/TPU tiling; documented capability edge.
+Concat_res5 uses the real gather-based deformable AKConv from blocks_tail2
+(round-5; the earlier standard-conv substitution is gone — the offsets'
+bilinear gathers are static-shape `take_along_axis` ops XLA tiles fine,
+they are just not MXU-dense).
 """
 
 from __future__ import annotations
@@ -411,9 +412,12 @@ class Concat_res4(nn.Module):
 
 
 class Concat_res5(nn.Module):
-    """Concat_res2 variant (reference :1580-1615; its AKConv tail is
-    deformable sampling — replaced by a standard conv on TPU, see module
-    docstring)."""
+    """Concat_res2 variant whose residual tail is a real deformable AKConv
+    (reference :1580-1615 — ``mem_update → Snn_Conv2d → BN → mem_update →
+    AKConv(num_param=k_size, stride=1)``, no BN after the AKConv).  Uses
+    the gather-based bilinear AKConv from blocks_tail2 (round-5: previously
+    substituted with a standard conv; the substitution and its docstrings
+    are gone)."""
 
     c2: int
     k: int = 3
@@ -423,13 +427,16 @@ class Concat_res5(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        from .blocks_tail2 import AKConv
+
         c1 = x.shape[-1]
         pad = 1 if self.k == 3 else 0
         y = MemUpdate(act=False, snn=self.snn, name="act1")(x, training)
         y = SnnConv(self.c2, self.k, self.s, pad, name="conv1")(y)
         y = TBatchNorm(1.0, self.snn, name="bn1")(y, training)
         y = MemUpdate(act=False, snn=self.snn, name="act2")(y, training)
-        y = SnnConv(self.c2, self.k, 1, pad, name="conv2")(y)
+        y = AKConv(self.c2, num_param=self.k, s=1, snn=self.snn,
+                   name="conv2")(y, training)
         if c1 < self.c2:
             t = _Seq(_mcb(self.c2 - c1, 1, 1), self.snn, name="sc")(x, training)
             sc = jnp.concatenate([t, x], axis=-1)

@@ -19,8 +19,51 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from functools import partial
+
 from ..config import SNNConfig
 from .surrogate import heaviside, spike_fn
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _reset_decay(mem_old, spike_prev, decay):
+    """``mem_old * decay * (1 - stop_grad(spike_prev))`` with an int8
+    residual.
+
+    The reset gate multiplies the decayed membrane by ``(1 - spike_prev)``
+    with the spike cotangent deliberately stopped (reference
+    ``spike.detach()``, models/common.py:306-309).  The backward therefore
+    needs ONLY the binary gate — but plain AD stashes it (or the spike) as
+    a full-size bf16 residual at every neuron site and T-step.  Saving the
+    gate as int8 is exact (it is {0,1} by construction at act=False sites)
+    and halves that residual's HBM traffic — the same technique as
+    ``nn/spike_conv.binary_input_conv`` (int8 spike transport), applied to
+    the one remaining binary edge inside the scan itself.
+    """
+    return mem_old * (decay * (1.0 - spike_prev))
+
+
+def _reset_decay_fwd(mem_old, spike_prev, decay):
+    gate8 = (1.0 - spike_prev).astype(jnp.int8)  # exact: spike in {0,1}
+    return mem_old * (decay * (1.0 - spike_prev)), gate8
+
+
+def _reset_decay_bwd(decay, gate8, g):
+    # d/d mem_old = decay * gate; d/d spike_prev = 0 (stop-gradient
+    # semantics, matching the reference's detached reset gate)
+    return g * (decay * gate8.astype(g.dtype)), jnp.zeros_like(g)
+
+
+_reset_decay.defvjp(_reset_decay_fwd, _reset_decay_bwd)
+
+
+def _gated_decay(mem_old, spike_prev, cfg: SNNConfig, act: bool):
+    """Reset-gate term of the membrane update.  Binary-gate (act=False)
+    sites route through the int8-residual custom_vjp when enabled; SiLU
+    sites (continuous ``spike_prev``) keep the plain expression."""
+    if cfg.int8_reset_gate and not act:
+        return _reset_decay(mem_old, spike_prev, cfg.decay)
+    return mem_old * cfg.decay * (1.0 - lax.stop_gradient(spike_prev))
 
 
 def lif_scan(
@@ -39,7 +82,7 @@ def lif_scan(
 
     def step(carry, x_t):
         mem_old, spike_prev = carry
-        mem = mem_old * cfg.decay * (1.0 - lax.stop_gradient(spike_prev)) + x_t
+        mem = _gated_decay(mem_old, spike_prev, cfg, act) + x_t
         spike = spike_fn(mem, cfg.thresh, cfg.lens, act)
         return (mem, spike), spike
 
@@ -75,11 +118,7 @@ def ecs_lif_scan(
     def step(carry, x_t):
         mem_old, spike_prev, ecs = carry
         fecs = cfg.beta * jnp.tanh(ecs)
-        mem = (
-            mem_old * cfg.decay * (1.0 - lax.stop_gradient(spike_prev))
-            + x_t
-            + fecs
-        )
+        mem = _gated_decay(mem_old, spike_prev, cfg, act) + x_t + fecs
         spike = spike_fn(mem, cfg.thresh, cfg.lens, act)
         ecs = cfg.alpha * spread(spike) + leak * ecs
         return (mem, spike, ecs), spike

@@ -193,6 +193,10 @@ def train(
         warmup_momentum=hyp["warmup_momentum"],
         warmup_bias_lr=hyp["warmup_bias_lr"],
         accumulate=accumulate,
+        # warmup-iteration floor differs by trainer generation: v1 anchor
+        # trainer uses 1000 (train.py:452), the TAL/v10/dual generation 100
+        # (train2.py:238, train3/train_dual same)
+        warmup_floor=1000.0 if model.head_name == "Detect" else 100.0,
     )
     state = create_train_state(variables, tx)
 
@@ -361,9 +365,15 @@ def train(
                 "params": state.ema_params,
                 "batch_stats": state.batch_stats,
             }
+            # per-epoch val batch-shards forward+NMS over the same data
+            # mesh the train step uses (single-host only: in multihost the
+            # mesh spans hosts and rank-0 can't feed it alone) — without
+            # this, 8-chip training idles 7 chips during every val pass
+            val_mesh = mesh if (world == 1 and batch_size % n_dev == 0) \
+                else None
             results = val_mod.run(
                 model, eval_vars, None, imgsz=imgsz,
-                batch_size=batch_size, dataset=val_ds,
+                batch_size=batch_size, dataset=val_ds, mesh=val_mesh,
             )
         fit = multihost.broadcast_scalar(results["fitness"])
         history.append(results)

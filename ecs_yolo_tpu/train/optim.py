@@ -100,6 +100,7 @@ def build_optimizer(
     warmup_momentum: float = 0.8,
     warmup_bias_lr: float = 0.1,
     accumulate: int = 1,
+    warmup_floor: float = 1000.0,
 ):
     """Three-group optimizer with warmup schedules.
 
@@ -113,8 +114,10 @@ def build_optimizer(
     # micro-step epoch length (and the 1000-micro-batch warmup floor,
     # reference train.py:452) to
     # apply-steps or warmup/decay stretch by `accumulate`x.
+    # warmup floor: 1000 micro-batches in the v1 trainer (train.py:452),
+    # 100 in the v2/TAL trainer (train2.py:238) — caller picks
     sched_spe = steps_per_epoch / max(accumulate, 1)
-    min_warmup = 1000.0 / max(accumulate, 1)
+    min_warmup = warmup_floor / max(accumulate, 1)
 
     def make_tx(is_bias: bool, decay: float):
         lr_fn = make_lr_fn(

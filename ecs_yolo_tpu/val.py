@@ -43,13 +43,23 @@ def run(
     anno_json: Optional[str] = None,
     coco91: bool = False,
     workers: int = 4,
+    mesh=None,
 ) -> Dict:
     """Returns {mp, mr, map50, map, fitness, speed, per_class}; with
-    ``save_json`` + ``anno_json`` also a ``coco`` sub-dict from COCOeval."""
+    ``save_json`` + ``anno_json`` also a ``coco`` sub-dict from COCOeval.
+
+    ``mesh``: a 1-D (or 2-D with a 'data' axis) ``jax.sharding.Mesh`` —
+    the forward AND the fixed-shape NMS run batch-sharded over it, so
+    per-epoch val during 8-chip training uses all chips instead of idling
+    7 (the reference is rank-0 val, train.py:630-641; this is the
+    TPU-native upgrade).  Shardings only change layout, never values —
+    metrics are identical to the single-device run (tests/test_val.py).
+    ``batch_size`` must divide by the mesh's data-axis size."""
     ds = dataset or Dataset(
         data_path, img_size=imgsz, augment=False, max_labels=max_labels
     )
     has_obj = model.head_name == "Detect"
+    _in_sharding = None
 
     if variables is None and hasattr(model, "predict"):
         # exported-artifact eval (DetectMultiBackend on .tflite/saved_model
@@ -61,6 +71,12 @@ def run(
                 pred = pred[:, : 4 + model.nc, :]
             return pred
     else:
+        if mesh is not None:
+            from .parallel.mesh import batch_sharding, replicated
+
+            variables = jax.device_put(variables, replicated(mesh))
+            _in_sharding = batch_sharding(mesh)
+
         @jax.jit
         def forward(images):
             out = model.module.apply(variables, images, training=False)
@@ -96,21 +112,29 @@ def run(
             )
         )
 
-    for ims, labels, masks, n_real, idxs in batch_iter:
-        t0 = time.perf_counter()
-        x = jnp.asarray(ims)
-        t1 = time.perf_counter()
-        pred = forward(x)
-        pred.block_until_ready()
-        t2 = time.perf_counter()
-        out, valid = non_max_suppression(
-            pred,
+    # NMS jitted so the sharded path keeps the whole post-process on-device
+    # (fixed-shape greedy NMS is pure XLA; batch dim shards cleanly)
+    nms = jax.jit(
+        lambda p: non_max_suppression(
+            p,
             conf_thres=conf_thres,
             iou_thres=iou_thres,
             multi_label=True,
             max_det=max_det,
             has_obj=has_obj,
         )
+    )
+
+    for ims, labels, masks, n_real, idxs in batch_iter:
+        t0 = time.perf_counter()
+        x = jnp.asarray(ims)
+        if _in_sharding is not None:
+            x = jax.device_put(x, _in_sharding)
+        t1 = time.perf_counter()
+        pred = forward(x)
+        pred.block_until_ready()
+        t2 = time.perf_counter()
+        out, valid = nms(pred)
         out = np.asarray(out)
         valid = np.asarray(valid)
         t3 = time.perf_counter()

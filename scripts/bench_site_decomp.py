@@ -85,6 +85,15 @@ def sites():
             return MemUpdate(act=False, snn=SNN, packed=2, name="act")(
                 x, training)
 
+    class ActU(nn.Module):
+        """UNPACKED ECS site (C>64 stages run the plain dw3x3+pw1x1
+        spread) — quantifies the remaining dw-conv opportunity (round 5)."""
+
+        @nn.compact
+        def __call__(self, x, training=True):
+            return MemUpdate(act=False, snn=SNN, packed=1, name="act")(
+                x, training)
+
     class BnM(nn.Module):
         @nn.compact
         def __call__(self, x, training=True):
@@ -99,6 +108,11 @@ def sites():
         "bn": (lambda: BnM(), (4, B, 160, 80, 128)),
         "pool": (lambda: PoolM(), (4, B, 320, 160, 128)),
         "stem": (lambda: Stem(), (1, B, 640, 640, 3)),
+        # unpacked ECS sites of the C>=128 stages (res10@640 production
+        # shapes; each Concat_res2 runs ~2 of these per block)
+        "act3u": (lambda: ActU(), (4, B, 80, 80, 128)),
+        "act4u": (lambda: ActU(), (4, B, 40, 40, 256)),
+        "act5u": (lambda: ActU(), (4, B, 20, 20, 512)),
     }
 
 

@@ -43,6 +43,8 @@ snn = SNNConfig(
     # defaults track SNNConfig's production defaults; override for A/B
     bn_custom_vjp=os.environ.get("BENCH_BNVJP", "1") == "1",
     int8_spike_transport=os.environ.get("BENCH_INT8SPK", "1") == "1",
+    int8_reset_gate=os.environ.get("BENCH_INT8GATE", "0") == "1",
+    pallas_dw_spread=os.environ.get("BENCH_PALLASDW", "0") == "1",
 )
 model = build_model(CFG, nc=NC, snn=snn, remat=remat_all)
 variables = model.init(jax.random.PRNGKey(0), imgsz=64)

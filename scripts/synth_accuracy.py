@@ -13,9 +13,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# default: CPU (tests / local iteration).  SYNTH_PLATFORM=axon runs the
+# convergence ON the TPU (VERDICT r4 item 8 re-anchoring).
+jax.config.update("jax_platforms", os.environ.get("SYNTH_PLATFORM", "cpu"))
 
 import numpy as np
 from PIL import Image
@@ -73,6 +77,8 @@ def main(epochs=40, imgsz=64, opt="SGD", lr0=0.005):
         autoanchor=True,
     )
     best50 = max(h.get("map50", 0.0) for h in history)
+    curve = [round(h.get("map50", 0.0), 3) for h in history]
+    print(f"mAP50 curve (per epoch, val_every=2): {curve}")
     print(f"best fitness={best_fit:.4f} best mAP50={best50:.4f} "
           f"({time.time() - t0:.0f}s, {epochs} epochs, {opt} lr0={lr0})")
 

@@ -201,6 +201,146 @@ def test_bn_moments_mesh_invariant():
                 f"B={b}: running stats differ")
 
 
+#: All four trained head/loss families (reference trains every one under DDP:
+#: train.py:418 v1, train2.py:391-394 TAL, train3.py:39 v10, train_dual.py:41
+#: dual).  Each gets the SAME multi-step sharded-vs-single parity guarantee.
+LOSS_FAMILIES = [
+    "resnet10.yaml",   # v1 anchor Detect + compute_loss_v1
+    "res10v8.yaml",    # DDetect + TAL assigner (topk/sort paths)
+    "res10v10.yaml",   # v10Detect one2one/one2many (NMS-free)
+    "res10-dual.yaml",  # DualDDetect aux supervision
+]
+
+
+def _multi_batches(n_steps, b=8, imgsz=64, m=8):
+    """Distinct batch per step so optimizer/EMA/BN state actually moves."""
+    out = []
+    for s in range(n_steps):
+        rng = np.random.RandomState(100 + s)
+        images = rng.rand(b, imgsz, imgsz, 3).astype(np.float32)
+        targets = np.zeros((b, m, 5), np.float32)
+        targets[:, 0] = [1, 0.4 + 0.05 * s, 0.5, 0.25, 0.3]
+        targets[:, 1] = [0, 0.3, 0.6, 0.2, 0.2]
+        mask = np.zeros((b, m), bool)
+        mask[:, :2] = True
+        out.append((images, targets, mask))
+    return out
+
+
+def _run_steps(model, variables, batches, place_state, place_batch,
+               mesh=None, hyp=HYP):
+    variables = jax.tree_util.tree_map(jnp.copy, variables)
+    tx = build_optimizer(variables["params"], name="SGD", epochs=3,
+                         steps_per_epoch=10)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, hyp)
+
+    def go():
+        st = place_state(state)
+        losses = []
+        for images, targets, mask in batches:
+            i, t, k = (place_batch(jnp.asarray(a))
+                       for a in (images, targets, mask))
+            st, metrics = step(st, i, t, k)
+            losses.append(float(metrics["loss"]))
+        return st, losses
+
+    if mesh is not None:
+        with mesh:
+            return go()
+    return go()
+
+
+def _assert_state_parity(st1, stN, label):
+    for name in ("params", "ema_params", "batch_stats"):
+        for a, b in zip(jax.tree_util.tree_leaves(getattr(st1, name)),
+                        jax.tree_util.tree_leaves(getattr(stN, name))):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+                err_msg=f"{label}: {name} diverged")
+
+
+@pytest.mark.parametrize("cfg", LOSS_FAMILIES)
+def test_train_multistep_parity_all_families(cfg):
+    """3 consecutive sharded train steps == 3 single-device steps, for every
+    head/loss family, including optimizer+EMA+BN running-stat accumulation
+    (VERDICT r4 item 3: TAL topk/sort, v10 dual-branch, and dual aux losses
+    had never run on a mesh; one-step checks miss multi-step drift)."""
+    hyp = dict(HYP)
+    if cfg != "resnet10.yaml":
+        hyp.update(box=7.5, cls=0.5, dfl=1.5)
+    model = build_model(cfg, nc=2)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=64)
+    batches = _multi_batches(3)
+
+    d0 = jax.devices()[0]
+    st1, losses1 = _run_steps(
+        model, variables, batches,
+        lambda s: jax.device_put(s, d0), lambda a: jax.device_put(a, d0),
+        hyp=hyp)
+
+    mesh = make_mesh(jax.devices()[:8])
+    st8, losses8 = _run_steps(
+        model, variables, batches,
+        lambda s: jax.device_put(s, replicated(mesh)),
+        lambda a: jax.device_put(a, batch_sharding(mesh)),
+        mesh=mesh, hyp=hyp)
+
+    np.testing.assert_allclose(losses1, losses8, rtol=1e-5, atol=1e-6,
+                               err_msg=f"{cfg}: per-step losses diverged")
+    _assert_state_parity(st1, st8, cfg)
+
+    # eval-mode forward AFTER the sharded training: the trained
+    # (params, batch_stats) must produce identical inference outputs
+    ev = {"params": st8.params, "batch_stats": st8.batch_stats}
+    images = batches[0][0]
+    out1, _ = jax.jit(
+        lambda v, x: model.module.apply(v, x, training=False)
+    )(ev, jnp.asarray(images))
+    evr = {"params": st1.params, "batch_stats": st1.batch_stats}
+    out0, _ = jax.jit(
+        lambda v, x: model.module.apply(v, x, training=False)
+    )(evr, jnp.asarray(images))
+    for a, b in zip(jax.tree_util.tree_leaves(out0),
+                    jax.tree_util.tree_leaves(out1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6,
+                                   err_msg=f"{cfg}: post-train eval diverged")
+
+
+def test_train_step_parity_event_mode():
+    """Event-camera 5-D batch [N,T,H,W,C] sharded over the mesh == single
+    device (the Gen1 pipeline trains the same DDP way; reference
+    g1-resnet/train_g1.py + SURVEY §3.4 first-class input mode)."""
+    model = build_model("resnet10.yaml", nc=2)
+    T = model.snn.time_window
+    variables = model.init(jax.random.PRNGKey(0), imgsz=64)
+
+    rng = np.random.RandomState(11)
+    b, m = 8, 8
+    events = rng.rand(b, T, 64, 64, 3).astype(np.float32)
+    targets = np.zeros((b, m, 5), np.float32)
+    targets[:, 0] = [1, 0.5, 0.5, 0.25, 0.3]
+    mask = np.zeros((b, m), bool)
+    mask[:, 0] = True
+    batches = [(events, targets, mask)]
+
+    d0 = jax.devices()[0]
+    st1, losses1 = _run_steps(
+        model, variables, batches,
+        lambda s: jax.device_put(s, d0), lambda a: jax.device_put(a, d0))
+
+    mesh = make_mesh(jax.devices()[:8])
+    st8, losses8 = _run_steps(
+        model, variables, batches,
+        lambda s: jax.device_put(s, replicated(mesh)),
+        lambda a: jax.device_put(a, batch_sharding(mesh)),
+        mesh=mesh)
+
+    np.testing.assert_allclose(losses1, losses8, rtol=1e-5, atol=1e-6)
+    _assert_state_parity(st1, st8, "event-mode")
+
+
 def test_shard_params_layout():
     """Conv kernels really split their output-channel dim over 'model'."""
     from ecs_yolo_tpu.parallel.mesh import make_mesh_2d, shard_params

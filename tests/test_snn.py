@@ -264,3 +264,73 @@ class TestPackedSpread:
         vars_ = mod.init(jax.random.PRNGKey(0), x)
         out = mod.apply(vars_, x)
         assert out.shape == x.shape
+
+
+class TestInt8ResetGate:
+    """`SNNConfig.int8_reset_gate` (snn/neuron._reset_decay): the binary
+    reset gate saved as int8 must be BITWISE equal to the plain
+    stop-gradient expression — forward spikes and input/param grads —
+    for both LIF and ECS-LIF scans."""
+
+    def _fwd_bwd(self, scan_call, x):
+        def f(x_):
+            return jnp.sum(jnp.square(scan_call(x_)))
+
+        y = scan_call(x)
+        v, g = jax.value_and_grad(f)(x)
+        return np.asarray(y), float(v), np.asarray(g)
+
+    def test_lif_bitwise(self):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(4, 2, 6, 6, 8), jnp.float32)
+        off = CFG.replace(int8_reset_gate=False)
+        on = CFG.replace(int8_reset_gate=True)
+        y0, v0, g0 = self._fwd_bwd(lambda a: lif_scan(a, off), x)
+        y1, v1, g1 = self._fwd_bwd(lambda a: lif_scan(a, on), x)
+        np.testing.assert_array_equal(y0, y1)
+        assert v0 == v1
+        np.testing.assert_array_equal(g0, g1)
+
+    def test_ecs_lif_bitwise_through_model(self):
+        # whole-graph check: resnet10 at 64px/T=2, loss+grads identical
+        # and the knob changes no parameter tree (mirrors the int8 spike
+        # transport model-knob test)
+        from ecs_yolo_tpu.models.yolo import build_model
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+        outs, trees = [], []
+        for knob in (False, True):
+            model = build_model(
+                "resnet10.yaml", nc=2,
+                snn=SNNConfig(time_window=2, int8_reset_gate=knob),
+            )
+            variables = model.init(jax.random.PRNGKey(0), imgsz=64)
+            trees.append(jax.tree_util.tree_structure(variables["params"]))
+
+            def fwd(p):
+                out, _ = model.module.apply(
+                    {"params": p, "batch_stats": variables["batch_stats"]},
+                    x, training=True, mutable=["batch_stats"],
+                )
+                leaves = jax.tree_util.tree_leaves(out)
+                return sum(jnp.sum(jnp.square(l)) for l in leaves)
+
+            v, g = jax.value_and_grad(fwd)(variables["params"])
+            outs.append((float(v), jax.tree_util.tree_leaves(g)))
+        assert trees[0] == trees[1], "knob changed the parameter tree"
+        np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=0, atol=0)
+        for a, b in zip(outs[0][1], outs[1][1]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_silu_sites_keep_plain_path(self):
+        # act=True (SiLU) sites have a CONTINUOUS "spike" — the int8 gate
+        # would be lossy there; the dispatch must keep plain AD and the
+        # outputs must match the knob-off path exactly.
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(4, 2, 6, 6, 8), jnp.float32)
+        off = CFG.replace(int8_reset_gate=False)
+        on = CFG.replace(int8_reset_gate=True)
+        y0 = np.asarray(lif_scan(x, off, act=True))
+        y1 = np.asarray(lif_scan(x, on, act=True))
+        np.testing.assert_array_equal(y0, y1)
