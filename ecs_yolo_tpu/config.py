@@ -114,6 +114,15 @@ class SNNConfig:
     # the measured full-step A/B (scripts/bench_train_step.py
     # BENCH_PALLASDW).
     pallas_dw_spread: bool = False
+    # Phase-aware packed spread (snn/pallas_dw.packed_spread_pallas): the
+    # C<=64 stage's dw+pw in packed layout as an im2col matmul per width
+    # phase — HALF the FLOPs of the round-3 packed composite (which XLA
+    # already runs at 87% MFU: the waste is in the formulation, not the
+    # execution — measured 1.404 ms at act1 vs its 1.22 ms compute bound,
+    # scripts/bench_pallas_dw.py round-5) with int8 input reads.  Exact
+    # same math (fp32 parity ~1e-7 incl. all 5 grads); backward = XLA's
+    # composite vjp.  Default follows the measured A/B.
+    pallas_packed_spread: bool = False
     # selective rematerialization: checkpoint ONLY the neuron recurrences
     # (the T-step scan materializes ~3 state tensors per step per site for
     # the backward — the dominant training-memory term).  Much cheaper to

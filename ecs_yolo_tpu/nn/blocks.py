@@ -479,6 +479,23 @@ class MemUpdate(nn.Module):
                 # segment-packed mode: input is ALREADY width-packed by the
                 # enclosing stage (models/yolo._plan_packing) — run the
                 # whole recurrence packed, no relayout here at all
+                if (self.snn.pallas_packed_spread and use8
+                        and self.packed == 2):
+                    # phase-aware Pallas kernel: half the composite's
+                    # FLOPs, int8 reads (round 5; snn/pallas_dw.py)
+                    from ..snn.pallas_dw import packed_spread_pallas
+
+                    dwc = dwk.astype(dtype)
+                    dbc = dwbias.astype(dtype)
+                    pwc = pwk.astype(dtype)
+                    pbc = pwbias.astype(dtype)
+                    return ecs_lif_scan(
+                        x,
+                        lambda sp: packed_spread_pallas(
+                            sp, dwc, dbc, pwc, pbc),
+                        self.snn,
+                        act=self.act,
+                    )
                 kp, bp = build_packed_spread(
                     dwk, dwbias, pwk, pwbias, self.packed
                 )

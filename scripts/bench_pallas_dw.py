@@ -241,10 +241,75 @@ def bench(shape, name):
           f"({t_x / max(t_p, 1e-9):.2f}x)", flush=True)
 
 
+def bench_phase_spread(shape, name):
+    """A/B the phase-aware Pallas packed spread (snn/pallas_dw) against the
+    production composite conv at bf16/binary-input production conditions."""
+    from ecs_yolo_tpu.snn.pallas_dw import packed_spread_pallas
+    from ecs_yolo_tpu.snn.packed_spread import build_packed_spread
+
+    rng = np.random.RandomState(0)
+    N, H, Wp, C2 = shape
+    C = C2 // 2
+    s0 = jnp.asarray((rng.rand(N, H, Wp, C2) > 0.7), jnp.bfloat16)
+    dw = jnp.asarray((rng.rand(3, 3, 1, C) - 0.5) * 0.2, jnp.bfloat16)
+    dwb = jnp.asarray((rng.rand(C) - 0.5) * 0.1, jnp.bfloat16)
+    pw = jnp.asarray((rng.rand(1, 1, C, C) - 0.5) * 0.05, jnp.bfloat16)
+    pwb = jnp.asarray((rng.rand(C) - 0.5) * 0.1, jnp.bfloat16)
+
+    def variant(kind):
+        if kind == "composite":
+            kp, bp = build_packed_spread(dw, dwb, pw, pwb, 2)
+
+            def f(s):
+                s8 = s.astype(jnp.int8)  # int8 transport like production
+                y = lax.conv_general_dilated(
+                    s8.astype(s.dtype), kp, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                return y + bp
+        else:
+            def f(s):
+                return packed_spread_pallas(s, dw, dwb, pw, pwb)
+
+        @jax.jit
+        def chained(s, n):
+            def body(i, carry):
+                y = f(carry)
+                return (y > 0).astype(jnp.bfloat16)
+
+            return jnp.sum(
+                lax.fori_loop(0, n, body, s).astype(jnp.float32))
+
+        times = {}
+        for n in (1, ITERS + 1):
+            t0 = time.perf_counter()
+            float(chained(s0, n))
+            tc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(chained(s0, n))
+            times[n] = time.perf_counter() - t0
+            print(f"  {name}/{kind} trip={n}: compile+run {tc:.1f}s "
+                  f"warm {times[n]:.4f}s", flush=True)
+        dt = (times[ITERS + 1] - times[1]) / ITERS * 1000
+        print(f"  {name}/{kind}: {dt:.3f} ms", flush=True)
+        return dt
+
+    t_c = variant("composite")
+    t_p = variant("pallas")
+    print(f"{name}: composite {t_c:.3f} ms vs phase-Pallas {t_p:.3f} ms "
+          f"({t_c / max(t_p, 1e-9):.2f}x)", flush=True)
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(SITES)
     for nm in names:
         if os.environ.get("BENCH_CPU", "0") == "1":
             parity_check((2, 16, 16, 128))
+        elif nm.startswith("spread"):
+            # spread_act1 / spread_act2: phase-aware packed spread A/B
+            site = {"spread_act1": (16, 320, 160, 128),
+                    "spread_act2": (16, 160, 80, 128),
+                    "spread_act1b8": (8, 320, 160, 128)}[nm]
+            bench_phase_spread(site, nm)
         else:
             bench(SITES[nm], nm)

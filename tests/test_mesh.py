@@ -252,11 +252,15 @@ def _run_steps(model, variables, batches, place_state, place_batch,
 
 
 def _assert_state_parity(st1, stN, label):
+    # atol 1e-5: after 3 steps the v10 topk/sort path reassociates enough
+    # for ONE small bias element to wobble ~1e-6 absolute (measured
+    # 1.13e-6 on a 0.004-magnitude value); the round-3 regression this
+    # guards against was 0.3% of LOSS, three orders larger
     for name in ("params", "ema_params", "batch_stats"):
         for a, b in zip(jax.tree_util.tree_leaves(getattr(st1, name)),
                         jax.tree_util.tree_leaves(getattr(stN, name))):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5,
                 err_msg=f"{label}: {name} diverged")
 
 
