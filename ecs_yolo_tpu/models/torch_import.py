@@ -132,12 +132,14 @@ def build_mapping(spec) -> Dict[str, Tuple[str, str]]:
                             (f"{t}.conv.weight", f"{o}/conv/conv/kernel"),
                         ):
                             mapping[ts] = ("params", os_)
-                        mapping[f"{t}.bn.bn.weight"] = ("params", f"{o}/bn/scale")
-                        mapping[f"{t}.bn.bn.bias"] = ("params", f"{o}/bn/bias")
+                        mapping[f"{t}.bn.bn.weight"] = (
+                            "params", f"{o}/bn/bn/scale")
+                        mapping[f"{t}.bn.bn.bias"] = (
+                            "params", f"{o}/bn/bn/bias")
                         mapping[f"{t}.bn.bn.running_mean"] = (
-                            "batch_stats", f"{o}/bn/mean")
+                            "batch_stats", f"{o}/bn/bn/mean")
                         mapping[f"{t}.bn.bn.running_var"] = (
-                            "batch_stats", f"{o}/bn/var")
+                            "batch_stats", f"{o}/bn/bn/var")
                     mapping[f"{base_t}.{br}.{li}.2.weight"] = (
                         "params", f"{base_o}/{br}_{li}/2/conv/kernel")
                     mapping[f"{base_t}.{br}.{li}.2.bias"] = (

@@ -143,3 +143,102 @@ class TestEcsV3:
         yp = np.asarray(ecs_lif_pallas(x, dwk, dwb, pwk, pwb, cfg,
                                        act=False, interpret=True))
         np.testing.assert_array_equal(ya, yp)
+
+
+class TestRound5SpreadKernels:
+    """Opt-in round-5 kernels (snn/pallas_dw.py): parity in interpret mode.
+    Both are measured SLOWER than XLA on v5e (docs/DESIGN.md round-5) and
+    default OFF; these tests keep them correct for future Mosaic work."""
+
+    def test_binary_dw3_conv_matches_xla(self):
+        import jax.numpy as jnp
+        from jax import lax
+        from ecs_yolo_tpu.snn.pallas_dw import binary_dw3_conv
+
+        rng = np.random.RandomState(0)
+        N, H, W, C = 2, 16, 8, 128
+        s = jnp.asarray((rng.rand(N, H, W, C) > 0.7), jnp.float32)
+        k = jnp.asarray((rng.rand(3, 3, 1, C) - 0.5) * 0.2, jnp.float32)
+        b = jnp.asarray((rng.rand(C) - 0.5) * 0.1, jnp.float32)
+        ref = lax.conv_general_dilated(
+            s, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+        ) + b
+        got = binary_dw3_conv(s, k, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        # grads flow and match AD of the XLA conv
+        g1 = jax.grad(lambda s_: jnp.sum(jnp.square(
+            binary_dw3_conv(s_, k, b))))(s)
+        g2 = jax.grad(lambda s_: jnp.sum(jnp.square(
+            lax.conv_general_dilated(
+                s_, k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C) + b)))(s)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_packed_spread_pallas_matches_composite(self):
+        import jax.numpy as jnp
+        from jax import lax
+        from ecs_yolo_tpu.snn.pallas_dw import packed_spread_pallas
+        from ecs_yolo_tpu.snn.packed_spread import build_packed_spread
+
+        rng = np.random.RandomState(1)
+        N, H, Wp, C = 2, 16, 8, 64
+        s = jnp.asarray((rng.rand(N, H, Wp, 2 * C) > 0.7), jnp.float32)
+        dw = jnp.asarray((rng.rand(3, 3, 1, C) - 0.5) * 0.2, jnp.float32)
+        dwb = jnp.asarray((rng.rand(C) - 0.5) * 0.1, jnp.float32)
+        pw = jnp.asarray((rng.rand(1, 1, C, C) - 0.5) * 0.05, jnp.float32)
+        pwb = jnp.asarray((rng.rand(C) - 0.5) * 0.1, jnp.float32)
+
+        def composite(s_, dw_, dwb_, pw_, pwb_):
+            kp, bp = build_packed_spread(dw_, dwb_, pw_, pwb_, 2)
+            return lax.conv_general_dilated(
+                s_, kp, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bp
+
+        ref = composite(s, dw, dwb, pw, pwb)
+        got = packed_spread_pallas(s, dw, dwb, pw, pwb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+        # all five gradients match the composite formulation's AD
+        gp = jax.grad(
+            lambda *a: jnp.sum(jnp.square(packed_spread_pallas(*a))),
+            argnums=(0, 1, 2, 3, 4))(s, dw, dwb, pw, pwb)
+        gr = jax.grad(
+            lambda *a: jnp.sum(jnp.square(composite(*a))),
+            argnums=(0, 1, 2, 3, 4))(s, dw, dwb, pw, pwb)
+        for a, b_, nm in zip(gp, gr, ["ds", "ddw", "ddwb", "dpw", "dpwb"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6,
+                err_msg=nm)
+
+    def test_model_knob_packed_spread(self):
+        """SNNConfig.pallas_packed_spread through the full res10 graph
+        (packed stage) matches the composite default to bf16-free fp32
+        tolerance; param tree unchanged."""
+        from ecs_yolo_tpu.config import SNNConfig
+        from ecs_yolo_tpu.models.yolo import build_model
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+        outs, trees = [], []
+        for knob in (False, True):
+            model = build_model(
+                "resnet10.yaml", nc=2,
+                snn=SNNConfig(time_window=2, pallas_packed_spread=knob),
+            )
+            variables = model.init(jax.random.PRNGKey(0), imgsz=64)
+            trees.append(jax.tree_util.tree_structure(variables["params"]))
+            out, _ = model.module.apply(
+                variables, x, training=True, mutable=["batch_stats"])
+            outs.append(np.concatenate(
+                [np.asarray(l).ravel()
+                 for l in jax.tree_util.tree_leaves(out)]))
+        assert trees[0] == trees[1]
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-5)
