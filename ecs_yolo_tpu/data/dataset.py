@@ -117,6 +117,7 @@ class Dataset:
         single_cls: bool = False,
         rect: bool = False,
         rect_buckets: int = 4,
+        cache_images: Optional[str] = None,
     ):
         self.img_files = find_images(path)
         assert self.img_files, f"no images found in {path}"
@@ -138,6 +139,38 @@ class Dataset:
         # TPU needs static shapes, so aspect ratios quantize into a few
         # letterbox buckets instead of per-batch dynamic shapes — each bucket
         # is one compiled program.
+        # decoded-image cache (reference --cache ram|disk,
+        # utils/datasets.py:494-518 cache_images): stores the OUTPUT of
+        # load_image (decoded + resized-to-img_size uint8), so steady-state
+        # epochs skip JPEG decode entirely.  'ram' fills lazily on first
+        # access (epoch 0 is compile-bound anyway, so an eager prefill with
+        # a progress bar buys nothing on this 1-core host); 'disk' writes
+        # .npy on first miss next to the label cache.  A /proc/meminfo
+        # guard disables 'ram' if the estimated footprint exceeds 80% of
+        # MemAvailable (reference check_cache_ram equivalent).
+        self.cache_images = cache_images
+        self.ims: Optional[list] = None
+        self._im_hw0: Optional[list] = None
+        if cache_images == "ram":
+            if not self._cache_ram_ok():
+                LOGGER = __import__("logging").getLogger("ecs_yolo_tpu")
+                LOGGER.warning(
+                    "image RAM cache would exceed 80%% of available memory"
+                    " — falling back to uncached loads"
+                )
+                self.cache_images = None
+            else:
+                self.ims = [None] * self.n
+                self._im_hw0 = [None] * self.n
+        elif cache_images == "disk":
+            base = Path(cache_dir) if cache_dir else (
+                Path(self.img_files[0]).parent.parent / ".npy_cache"
+            )
+            base.mkdir(parents=True, exist_ok=True)
+            self._npy_dir = base
+        elif cache_images is not None:
+            raise ValueError(f"cache_images must be ram|disk, got {cache_images}")
+
         self.rect = rect
         self.batch_shape = None  # per-image [h, w] when rect
         if rect:
@@ -217,8 +250,26 @@ class Dataset:
             ratio_pad=((h / h0 * r, w / w0 * r), pad),
         )
 
-    def load_image(self, i: int):
-        """Load + resize longest side to img_size (keeps ratio)."""
+    def _cache_ram_ok(self, frac: float = 0.8) -> bool:
+        """Estimate the RAM-cache footprint from one decoded image against
+        /proc/meminfo MemAvailable (reference check_cache_ram,
+        utils/dataloaders.py)."""
+        try:
+            with Image.open(self.img_files[0]) as im:
+                w0, h0 = im.size
+            r = self.img_size / max(h0, w0)
+            need = self.n * 3 * min(1.0, r) ** 2 * h0 * w0
+            with open("/proc/meminfo") as f:
+                avail = next(
+                    int(ln.split()[1]) * 1024
+                    for ln in f
+                    if ln.startswith("MemAvailable")
+                )
+            return need < frac * avail
+        except Exception:
+            return True  # no meminfo (non-Linux) — trust the caller
+
+    def _decode_resize(self, i: int):
         im = np.asarray(Image.open(self.img_files[i]).convert("RGB"))
         h0, w0 = im.shape[:2]
         r = self.img_size / max(h0, w0)
@@ -228,7 +279,41 @@ class Dataset:
                     (int(w0 * r), int(h0 * r)), Image.BILINEAR
                 )
             )
-        return im, (h0, w0), im.shape[:2]
+        return im, (h0, w0)
+
+    def load_image(self, i: int):
+        """Load + resize longest side to img_size (keeps ratio).  Serves
+        from the RAM/disk cache when enabled; a cached entry resized for a
+        different img_size (multi-scale epochs) falls back to a fresh
+        decode rather than serving a stale resolution."""
+        if self.ims is not None:
+            hit = self.ims[i]
+            # _decode_resize always leaves max(shape) == img_size, so a
+            # mismatch means the entry was cached for another scale
+            if hit is not None and max(hit.shape[:2]) == self.img_size:
+                return hit, self._im_hw0[i], hit.shape[:2]
+            im, hw0 = self._decode_resize(i)
+            # single-element list/array writes are atomic under the GIL —
+            # safe from the thread-pool workers in batches()
+            self.ims[i], self._im_hw0[i] = im, hw0
+            return im, hw0, im.shape[:2]
+        if self.cache_images == "disk":
+            p = self._npy_dir / f"{Path(self.img_files[i]).stem}_{i}_{self.img_size}.npy"
+            if p.exists():
+                im = np.load(p)
+                h0w0 = tuple(
+                    np.load(p.with_suffix(".hw0.npy"))
+                ) if p.with_suffix(".hw0.npy").exists() else im.shape[:2]
+                return im, h0w0, im.shape[:2]
+            im, hw0 = self._decode_resize(i)
+            try:
+                np.save(p, im)
+                np.save(p.with_suffix(".hw0.npy"), np.asarray(hw0))
+            except OSError:
+                pass  # disk full — keep training uncached
+            return im, hw0, im.shape[:2]
+        im, hw0 = self._decode_resize(i)
+        return im, hw0, im.shape[:2]
 
     def __len__(self):
         return self.n

@@ -88,6 +88,8 @@ def train(
     remat_neuron: bool = False,
     model_parallel: int = 1,
     quad: bool = False,
+    cache: Optional[str] = None,
+    device_augment: bool = False,
 ):
     """Returns (state, best_fitness, results_history).
 
@@ -96,6 +98,12 @@ def train(
     input mode; mosaic/multi-scale/image-weights are image-space-only and
     are skipped."""
     hyp = {**HYP_SCRATCH, **(hyp or {})}
+    if device_augment and (events or _is_segment_head(cfg) or quad):
+        LOGGER.warning(
+            "device_augment supports the plain detection pipeline only — "
+            "falling back to host augmentation"
+        )
+        device_augment = False
     callbacks = callbacks or Callbacks()
     save_dir = increment_path(save_dir, mkdir=True)
     w = Path(save_dir) / "weights"
@@ -141,13 +149,22 @@ def train(
         close_mosaic = 0
         LOGGER.info("segmentation mode: polygon labels + instance masks")
     else:
+        # device_augment moves mosaic/affine/HSV/flip ONTO the accelerator
+        # (data/device_augment.py, jit-compiled per batch): the host then
+        # only decodes + letterboxes, which with --cache ram makes the input
+        # pipeline O(memcpy) per epoch.  The reference has no equivalent —
+        # all augmentation lives in DataLoader workers
+        # (utils/datasets.py:553-624); this is the SURVEY §2.9 north-star
+        # host-offload path.  NOTE: the host letterbox uses scaleup=False in
+        # this mode (val semantics); the device affine's random scale
+        # re-introduces scale jitter.
         train_ds = Dataset(
-            train_path, img_size=imgsz, augment=True, hyp=hyp,
-            max_labels=max_labels,
+            train_path, img_size=imgsz, augment=not device_augment, hyp=hyp,
+            max_labels=max_labels, cache_images=cache,
         )
         val_ds = (
             Dataset(val_path, img_size=imgsz, augment=False,
-                    max_labels=max_labels)
+                    max_labels=max_labels, cache_images=cache)
             if val_path
             else None
         )
@@ -252,6 +269,21 @@ def train(
         with_semantic=sem_mode,
     )
 
+    aug_fn = None
+    if device_augment:
+        from functools import partial as _partial
+
+        from ..data.device_augment import augment_batch
+
+        @_partial(jax.jit, static_argnames=("mosaic_on",))
+        def aug_fn(images, labels, masks, key, mosaic_on):
+            h = dict(hyp)
+            if not mosaic_on:  # close_mosaic epochs recompile once
+                h["mosaic"] = 0.0
+            return augment_batch(images, labels, masks, key, h)
+
+        aug_key = jax.random.PRNGKey(seed ^ 0x5EED)
+
     # multi-scale: per-EPOCH size buckets in /32 steps over 0.5-1.5x imgsz
     # (the reference resizes per batch, train.py:544-551; bucketing per epoch
     # bounds XLA recompiles to the bucket count while keeping the capability)
@@ -350,6 +382,15 @@ def train(
             batch = tuple(
                 multihost.to_global(data_s, np.asarray(a)) for a in batch_np
             )
+            if aug_fn is not None:
+                # NOTE deviation: the host path rolls mosaic per-sample with
+                # p=hyp['mosaic']; the device path applies it batch-wide
+                # whenever p>0 (default p=1.0 — identical there)
+                batch = aug_fn(
+                    *batch,
+                    jax.random.fold_in(aug_key, epoch * steps_per_epoch + nb),
+                    mosaic_on=train_ds.hyp.get("mosaic", 1.0) > 0,
+                )
             state, metrics = step_fn(state, *batch)
             items = np.asarray(metrics["items"])[:3]
             mloss = (mloss * nb + items) / (nb + 1)

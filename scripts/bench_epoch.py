@@ -48,6 +48,8 @@ N_VAL = int(os.environ.get("BENCH_N_VAL", 256))
 EPOCHS = int(os.environ.get("BENCH_EPOCHS", 3))
 WORKERS = int(os.environ.get("BENCH_WORKERS", 4))
 BF16 = os.environ.get("BENCH_BF16", "1") == "1"
+CACHE = os.environ.get("BENCH_CACHE") or None  # ram|disk
+DEVAUG = os.environ.get("BENCH_DEVAUG", "0") == "1"
 
 
 def make_data(root: Path, n_train: int, n_val: int, size: int, seed=0):
@@ -119,6 +121,8 @@ def main():
         save_dir=str(root / "exp"),
         workers=WORKERS,
         bf16=BF16,
+        cache=CACHE,
+        device_augment=DEVAUG,
         autoanchor=False,  # keep the timing about the loop, not the GA
         callbacks=cbs,
     )
@@ -131,6 +135,7 @@ def main():
     print(json.dumps({
         "metric": "epoch_e2e_train",
         "cfg": CFG, "batch": BATCH, "imgsz": IMGSZ, "bf16": BF16,
+        "cache": CACHE, "device_augment": DEVAUG,
         "n_train": N_IMAGES, "n_val": N_VAL, "workers": WORKERS,
         "epoch_s": round(per_epoch, 1),
         "epoch_imgs_per_sec": round(imgs_per_sec, 2),

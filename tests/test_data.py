@@ -168,6 +168,52 @@ class TestDataset:
         for a, b in zip(ds1.labels, ds2.labels):
             np.testing.assert_array_equal(a, b)
 
+    def test_image_cache_ram_parity(self, mini_dataset):
+        """--cache ram (reference utils/datasets.py:494-518): cached loads
+        must be byte-identical to fresh decodes, including hw0 metadata."""
+        plain = Dataset(str(mini_dataset / "images"), img_size=160,
+                        augment=False)
+        cached = Dataset(str(mini_dataset / "images"), img_size=160,
+                         augment=False, cache_images="ram")
+        for i in range(len(plain)):
+            a, ahw0, ahw = plain.load_image(i)
+            b, bhw0, bhw = cached.load_image(i)   # fills the cache
+            c, chw0, chw = cached.load_image(i)   # serves from it
+            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(a, c)
+            assert ahw0 == bhw0 == chw0 and ahw == bhw == chw
+            assert cached.ims[i] is not None
+        # getitem parity through the full val pipeline
+        ia, la, ma = plain[2]
+        ib, lb2, mb = cached[2]
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb2)
+
+    def test_image_cache_disk_parity(self, mini_dataset, tmp_path):
+        plain = Dataset(str(mini_dataset / "images"), img_size=160,
+                        augment=False)
+        cached = Dataset(str(mini_dataset / "images"), img_size=160,
+                         augment=False, cache_images="disk",
+                         cache_dir=str(tmp_path))
+        for i in range(len(plain)):
+            a, ahw0, _ = plain.load_image(i)
+            cached.load_image(i)                  # writes the .npy
+            c, chw0, _ = cached.load_image(i)     # reads it back
+            np.testing.assert_array_equal(a, c)
+            assert tuple(ahw0) == tuple(int(v) for v in chw0)
+        assert list(tmp_path.glob("*.npy"))
+
+    def test_image_cache_multiscale_no_stale(self, mini_dataset):
+        """A RAM entry cached at one img_size must not be served after
+        multi-scale mutates img_size (driver multi_scale path)."""
+        ds = Dataset(str(mini_dataset / "images"), img_size=160,
+                     augment=False, cache_images="ram")
+        im160, _, _ = ds.load_image(0)
+        assert max(im160.shape[:2]) == 160
+        ds.img_size = 96
+        im96, _, _ = ds.load_image(0)
+        assert max(im96.shape[:2]) == 96
+
     def test_flip_lr_labels(self):
         im = np.zeros((8, 8, 3), np.uint8)
         labels = np.array([[0, 0.25, 0.5, 0.1, 0.1]], np.float32)

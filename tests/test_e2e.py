@@ -77,3 +77,31 @@ def test_train_val_detect_roundtrip(synth_data, tmp_path):
     assert len(results) == 8
     # annotated images saved
     assert len(list((tmp_path / "det").glob("*.jpg"))) == 8
+
+
+@pytest.mark.slow
+def test_train_device_augment_cached(synth_data, tmp_path):
+    """--cache ram + --device-augment: augmentation (mosaic/affine/HSV/
+    flip) runs jit-compiled on the accelerator and the host serves decoded
+    images from RAM (data/device_augment.py; no reference equivalent —
+    utils/datasets.py:553-624 does all of it in DataLoader workers).  The
+    full driver must train, descend and validate through this path."""
+    state, best_fit, history = train(
+        cfg="resnet10.yaml",
+        train_path=str(synth_data / "train" / "images"),
+        val_path=str(synth_data / "val" / "images"),
+        nc=1,
+        epochs=2,
+        batch_size=4,
+        imgsz=64,
+        max_labels=16,
+        patience=10,
+        save_dir=str(tmp_path / "exp"),
+        hyp=dict(mosaic=1.0, fliplr=0.5, warmup_epochs=0.1),
+        cache="ram",
+        device_augment=True,
+        autoanchor=False,
+    )
+    assert int(state.step) == 4
+    assert len(history) == 2
+    assert np.isfinite(best_fit)

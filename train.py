@@ -47,6 +47,13 @@ def parse_opt():
     p.add_argument("--quad", action="store_true",
                    help="quad collate: tile every 4 samples into one 2x "
                         "canvas (reference --quad / collate_fn4)")
+    p.add_argument("--cache", choices=["ram", "disk"], default=None,
+                   help="cache decoded+resized images (reference --cache; "
+                        "steady-state epochs skip JPEG decode)")
+    p.add_argument("--device-augment", action="store_true",
+                   help="run mosaic/affine/HSV/flip jit-compiled ON the "
+                        "accelerator (host only decodes+letterboxes; "
+                        "TPU-native host-offload, no reference equivalent)")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="'model' mesh-axis extent: shard weight/optimizer/"
                         "EMA output channels over this many devices "
@@ -123,6 +130,8 @@ def main(opt):
         nbs=opt.nbs,
         events=opt.events,
         autoanchor=not opt.noautoanchor,
+        cache=opt.cache,
+        device_augment=opt.device_augment,
     )
 
     if opt.evolve:
