@@ -118,6 +118,7 @@ class Dataset:
         rect: bool = False,
         rect_buckets: int = 4,
         cache_images: Optional[str] = None,
+        uint8_out: bool = False,
     ):
         self.img_files = find_images(path)
         assert self.img_files, f"no images found in {path}"
@@ -129,6 +130,7 @@ class Dataset:
         self.pad = pad
         self.max_labels = max_labels
         self.single_cls = single_cls
+        self.uint8_out = uint8_out
         self.labels = self._load_labels(cache_dir)
         self.albumentations = Albumentations() if augment else None
         self.n = len(self.img_files)
@@ -432,6 +434,13 @@ class Dataset:
         if n:
             out_l[:n] = labels[:n]
             mask[:n] = True
+        if self.uint8_out:
+            # ship uint8 and divide ON the device (the trainer/val jits
+            # convert uint8 -> fp32/255, <=1 ulp vs the host divide): 4x
+            # less host->device transfer, which matters when the device
+            # link is the bottleneck.  The reference does the same —
+            # uint8 collate + .float()/255 on GPU (train.py:536).
+            return np.ascontiguousarray(img), out_l, mask
         return img.astype(np.float32) / 255.0, out_l, mask
 
     # -- batching -------------------------------------------------------------

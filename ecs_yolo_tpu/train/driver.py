@@ -90,6 +90,7 @@ def train(
     quad: bool = False,
     cache: Optional[str] = None,
     device_augment: bool = False,
+    steps_per_call: int = 1,
 ):
     """Returns (state, best_fitness, results_history).
 
@@ -160,11 +161,12 @@ def train(
         # re-introduces scale jitter.
         train_ds = Dataset(
             train_path, img_size=imgsz, augment=not device_augment, hyp=hyp,
-            max_labels=max_labels, cache_images=cache,
+            max_labels=max_labels, cache_images=cache, uint8_out=True,
         )
         val_ds = (
             Dataset(val_path, img_size=imgsz, augment=False,
-                    max_labels=max_labels, cache_images=cache)
+                    max_labels=max_labels, cache_images=cache,
+                    uint8_out=True)
             if val_path
             else None
         )
@@ -260,16 +262,19 @@ def train(
         train_ds, "include_masks"
     )
     sem_mode = seg_mode and getattr(train_ds, "semantic", False)
-    step_fn = make_train_step(
+    raw_step_fn = make_train_step(
         model, tx, hyp, ema_decay=ema_decay,
         compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
         sr=sr, sr_total_steps=epochs * steps_per_epoch,
         accumulate=accumulate,
         with_masks=seg_mode,
         with_semantic=sem_mode,
+        jit=False,
     )
+    step_fn = jax.jit(raw_step_fn, donate_argnums=(0,))
 
     aug_fn = None
+    aug_key = jax.random.PRNGKey(seed ^ 0x5EED)
     if device_augment:
         from functools import partial as _partial
 
@@ -277,12 +282,51 @@ def train(
 
         @_partial(jax.jit, static_argnames=("mosaic_on",))
         def aug_fn(images, labels, masks, key, mosaic_on):
+            if images.dtype == jnp.uint8:  # uint8 transport — see trainer
+                images = images.astype(jnp.float32) / 255.0
             h = dict(hyp)
             if not mosaic_on:  # close_mosaic epochs recompile once
                 h["mosaic"] = 0.0
             return augment_batch(images, labels, masks, key, h)
 
-        aug_key = jax.random.PRNGKey(seed ^ 0x5EED)
+    multi_fn = None
+    if steps_per_call > 1:
+        if events or seg_mode or world > 1:
+            LOGGER.warning("steps_per_call supports the single-host plain "
+                           "detection pipeline only — one step per call")
+            steps_per_call = 1
+        else:
+            # chain K optimizer steps (and the device augmentation) into ONE
+            # compiled call: a lax.scan over K stacked batches.  Amortizes
+            # the per-call dispatch latency — negligible on a local PCIe
+            # host, DOMINANT through a remote/tunneled device link (the
+            # axon measurement host pays seconds per dispatch; see
+            # BASELINE.md §5 epoch benchmark).  The reference steps
+            # per-batch from Python (train.py:536-583) — this is the
+            # compiler-friendly TPU equivalent.
+            from functools import partial as _partial2
+
+            if device_augment:
+                from ..data.device_augment import augment_batch as _ab
+
+            @_partial2(jax.jit, static_argnames=("mosaic_on",),
+                       donate_argnums=(0,))
+            def multi_fn(state, images, targets, t_mask, keys, mosaic_on):
+                def body(st, xs):
+                    im, tg, mk, ky = xs
+                    if im.dtype == jnp.uint8:
+                        im = im.astype(jnp.float32) / 255.0
+                    if device_augment:
+                        h = dict(hyp)
+                        if not mosaic_on:
+                            h["mosaic"] = 0.0
+                        im, tg, mk = _ab(im, tg, mk, ky, h)
+                    st, met = raw_step_fn(st, im, tg, mk)
+                    return st, met["items"]
+
+                return jax.lax.scan(
+                    body, state, (images, targets, t_mask, keys)
+                )
 
     # multi-scale: per-EPOCH size buckets in /32 steps over 0.5-1.5x imgsz
     # (the reference resizes per batch, train.py:544-551; bucketing per epoch
@@ -373,12 +417,22 @@ def train(
         t0 = time.time()
         mloss = np.zeros(3)
         nb = 0
-        for batch_np in train_ds.batches(
-            batch_size, shuffle=True, seed=seed + epoch,
-            workers=workers, host_shard=host_shard,
-            quad=quad and not events and not seg_mode,
-        ):
-            # 3-tuple detection batches; SegmentDataset adds gt masks
+        chunk: list = []
+        chunk_s = None
+        if multi_fn is not None and mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # stacked [K, B, ...] chunks shard the BATCH axis (axis 1)
+            chunk_s = NamedSharding(mesh, PartitionSpec(None, "data"))
+
+        def _account(items_row):
+            nonlocal mloss, nb
+            mloss = (mloss * nb + items_row) / (nb + 1)
+            nb += 1
+            callbacks.run("on_train_batch_end")
+
+        def _one_step(batch_np):
+            nonlocal state
             batch = tuple(
                 multihost.to_global(data_s, np.asarray(a)) for a in batch_np
             )
@@ -392,10 +446,49 @@ def train(
                     mosaic_on=train_ds.hyp.get("mosaic", 1.0) > 0,
                 )
             state, metrics = step_fn(state, *batch)
-            items = np.asarray(metrics["items"])[:3]
-            mloss = (mloss * nb + items) / (nb + 1)
-            nb += 1
-            callbacks.run("on_train_batch_end")
+            _account(np.asarray(metrics["items"])[:3])
+
+        def _flush_chunk():
+            nonlocal state, chunk
+            if not chunk:
+                return
+            if len(chunk) < steps_per_call:
+                # epoch tail shorter than K: per-step path (reuses the
+                # single-step graphs, no extra scan compile per tail size)
+                for b in chunk:
+                    _one_step(b)
+                chunk = []
+                return
+            stacked = [
+                np.stack([c[j] for c in chunk]) for j in range(3)
+            ]
+            if chunk_s is not None:
+                stacked = [jax.device_put(a, chunk_s) for a in stacked]
+            keys = jax.random.split(
+                jax.random.fold_in(aug_key, epoch * steps_per_epoch + nb),
+                steps_per_call,
+            )
+            state, items_k = multi_fn(
+                state, *stacked, keys,
+                mosaic_on=train_ds.hyp.get("mosaic", 1.0) > 0,
+            )
+            for row in np.asarray(items_k)[:, :3]:
+                _account(row)
+            chunk = []
+
+        for batch_np in train_ds.batches(
+            batch_size, shuffle=True, seed=seed + epoch,
+            workers=workers, host_shard=host_shard,
+            quad=quad and not events and not seg_mode,
+        ):
+            # 3-tuple detection batches; SegmentDataset adds gt masks
+            if multi_fn is not None:
+                chunk.append(batch_np)
+                if len(chunk) == steps_per_call:
+                    _flush_chunk()
+                continue
+            _one_step(batch_np)
+        _flush_chunk()
 
         results = dict(mp=0.0, mr=0.0, map50=0.0, map=0.0, fitness=0.0)
         # rank-0-only val, like the reference (train.py:630-641); the

@@ -156,6 +156,14 @@ def make_train_step(
 
     def step_fn(state: TrainState, images, targets, t_mask, gt_masks=None,
                 sem_gt=None):
+        if images.dtype == jnp.uint8:
+            # uint8 host->device transport (Dataset(uint8_out=True)), the
+            # reference's uint8-collate + .float()/255-on-GPU (train.py:536)
+            # done TPU-side: 4x less host->device traffic.  XLA lowers /255
+            # to a reciprocal multiply, so pixels differ from the host-side
+            # numpy divide by <=1 ulp (2^-24) — measured 126/256 values,
+            # tests/test_data.py::test_uint8_out_ulp_parity
+            images = images.astype(jnp.float32) / 255.0
         def losses(params):
             # bf16 compute: fp32 master params cast at the apply boundary
             # (grads accumulate back into fp32 — the TPU equivalent of the

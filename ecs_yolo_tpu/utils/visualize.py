@@ -109,6 +109,8 @@ def noise_sweep(
         def batches(self, *a, **k):
             rng = np.random.RandomState(seed)
             for ims, lbs, ms in self.ds.batches(*a, **k):
+                if ims.dtype == np.uint8:  # uint8-transport datasets
+                    ims = ims.astype(np.float32) / 255.0
                 noisy = np.clip(
                     ims + rng.randn(*ims.shape).astype(np.float32) * self.sigma,
                     0.0, 1.0,

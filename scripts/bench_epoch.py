@@ -50,6 +50,7 @@ WORKERS = int(os.environ.get("BENCH_WORKERS", 4))
 BF16 = os.environ.get("BENCH_BF16", "1") == "1"
 CACHE = os.environ.get("BENCH_CACHE") or None  # ram|disk
 DEVAUG = os.environ.get("BENCH_DEVAUG", "0") == "1"
+SPC = int(os.environ.get("BENCH_SPC", 1))  # steps per compiled call
 
 
 def make_data(root: Path, n_train: int, n_val: int, size: int, seed=0):
@@ -123,6 +124,7 @@ def main():
         bf16=BF16,
         cache=CACHE,
         device_augment=DEVAUG,
+        steps_per_call=SPC,
         autoanchor=False,  # keep the timing about the loop, not the GA
         callbacks=cbs,
     )
@@ -135,7 +137,7 @@ def main():
     print(json.dumps({
         "metric": "epoch_e2e_train",
         "cfg": CFG, "batch": BATCH, "imgsz": IMGSZ, "bf16": BF16,
-        "cache": CACHE, "device_augment": DEVAUG,
+        "cache": CACHE, "device_augment": DEVAUG, "steps_per_call": SPC,
         "n_train": N_IMAGES, "n_val": N_VAL, "workers": WORKERS,
         "epoch_s": round(per_epoch, 1),
         "epoch_imgs_per_sec": round(imgs_per_sec, 2),

@@ -214,6 +214,32 @@ class TestDataset:
         im96, _, _ = ds.load_image(0)
         assert max(im96.shape[:2]) == 96
 
+    def test_uint8_out_ulp_parity(self, mini_dataset):
+        """uint8 transport (Dataset(uint8_out=True) + on-device
+        astype(fp32)/255 in trainer/val jits) vs the host float path: XLA
+        lowers /255 to a reciprocal multiply, so pixels may differ by at
+        most 1 ulp (2^-24) — never more.  Labels/masks identical."""
+        import jax
+        import jax.numpy as jnp
+
+        fl = Dataset(str(mini_dataset / "images"), img_size=160,
+                     augment=False)
+        u8 = Dataset(str(mini_dataset / "images"), img_size=160,
+                     augment=False, uint8_out=True)
+        conv = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
+        for i in range(len(fl)):
+            ia, la, ma = fl[i]
+            ib, lb2, mb = u8[i]
+            assert ib.dtype == np.uint8
+            got = np.asarray(conv(jnp.asarray(ib)))
+            np.testing.assert_allclose(ia, got, rtol=0, atol=2**-24)
+            np.testing.assert_array_equal(la, lb2)
+            np.testing.assert_array_equal(ma, mb)
+            # and the raw uint8 payload is the same image the float path saw
+            np.testing.assert_array_equal(
+                ib, np.round(ia * 255.0).astype(np.uint8)
+            )
+
     def test_flip_lr_labels(self):
         im = np.zeros((8, 8, 3), np.uint8)
         labels = np.array([[0, 0.25, 0.5, 0.1, 0.1]], np.float32)

@@ -100,8 +100,41 @@ def test_train_device_augment_cached(synth_data, tmp_path):
         hyp=dict(mosaic=1.0, fliplr=0.5, warmup_epochs=0.1),
         cache="ram",
         device_augment=True,
+        steps_per_call=2,  # both epoch batches in ONE compiled scan call
         autoanchor=False,
     )
     assert int(state.step) == 4
     assert len(history) == 2
     assert np.isfinite(best_fit)
+
+
+@pytest.mark.slow
+def test_steps_per_call_parity(synth_data, tmp_path):
+    """steps_per_call=K chains K steps in one lax.scan call; with identical
+    data order and no stochastic augmentation it must reproduce the
+    per-step path's training state (same step count, ~same losses)."""
+    common = dict(
+        cfg="resnet10.yaml",
+        train_path=str(synth_data / "train" / "images"),
+        val_path=None,
+        nc=1,
+        epochs=1,
+        batch_size=4,
+        imgsz=64,
+        max_labels=16,
+        patience=10,
+        hyp=dict(mosaic=0.0, fliplr=0.0, warmup_epochs=0.1),
+        autoanchor=False,
+        workers=0,
+        seed=7,
+    )
+    s1, _, _ = train(save_dir=str(tmp_path / "a"), **common)
+    s2, _, _ = train(save_dir=str(tmp_path / "b"), steps_per_call=2,
+                     **common)
+    assert int(s1.step) == int(s2.step) == 2
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )

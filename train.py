@@ -54,6 +54,9 @@ def parse_opt():
                    help="run mosaic/affine/HSV/flip jit-compiled ON the "
                         "accelerator (host only decodes+letterboxes; "
                         "TPU-native host-offload, no reference equivalent)")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="chain K optimizer steps into one compiled call "
+                        "(lax.scan) — amortizes per-dispatch latency")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="'model' mesh-axis extent: shard weight/optimizer/"
                         "EMA output channels over this many devices "
@@ -132,6 +135,7 @@ def main(opt):
         autoanchor=not opt.noautoanchor,
         cache=opt.cache,
         device_augment=opt.device_augment,
+        steps_per_call=opt.steps_per_call,
     )
 
     if opt.evolve:
