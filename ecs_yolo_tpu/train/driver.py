@@ -508,6 +508,8 @@ def train(
             results = val_mod.run(
                 model, eval_vars, None, imgsz=imgsz,
                 batch_size=batch_size, dataset=val_ds, mesh=val_mesh,
+                fuse_post=True,  # forward+NMS one dispatch per batch
+                chain_batches=True,  # ...and the whole pass as one scan
             )
         fit = multihost.broadcast_scalar(results["fitness"])
         history.append(results)

@@ -44,6 +44,8 @@ def run(
     coco91: bool = False,
     workers: int = 4,
     mesh=None,
+    fuse_post: bool = False,
+    chain_batches: bool = False,
 ) -> Dict:
     """Returns {mp, mr, map50, map, fitness, speed, per_class}; with
     ``save_json`` + ``anno_json`` also a ``coco`` sub-dict from COCOeval.
@@ -81,7 +83,6 @@ def run(
             variables = jax.device_put(variables, replicated(mesh))
             _in_sharding = batch_sharding(mesh)
 
-        @jax.jit
         def forward(images):
             if images.dtype == jnp.uint8:
                 # uint8 transport (Dataset uint8_out): on-device divide
@@ -122,8 +123,8 @@ def run(
 
     # NMS jitted so the sharded path keeps the whole post-process on-device
     # (fixed-shape greedy NMS is pure XLA; batch dim shards cleanly)
-    nms = jax.jit(
-        lambda p: non_max_suppression(
+    def _nms_body(p):
+        return non_max_suppression(
             p,
             conf_thres=conf_thres,
             iou_thres=iou_thres,
@@ -131,25 +132,83 @@ def run(
             max_det=max_det,
             has_obj=has_obj,
         )
-    )
 
-    for ims, labels, masks, n_real, idxs in batch_iter:
+    def _fused_body(x):
+        return _nms_body(forward(x))
+
+    fused = None
+    if (fuse_post or chain_batches) and variables is not None:
+        # forward+NMS in ONE compiled call: halves the per-batch dispatch
+        # count (the reference's val.py times them separately; the split
+        # pre/inf/nms speed breakdown is preserved on the default path —
+        # the fused path books the combined time under 'inference')
+        fused = jax.jit(_fused_body)
+    else:
+        forward = jax.jit(forward) if variables is not None else forward
+        nms = jax.jit(_nms_body)
+
+    if chain_batches and fused is not None:
+        # the ENTIRE val pass as one compiled lax.scan over stacked batches
+        # — a single device dispatch.  Matters when per-dispatch latency is
+        # large (remote/tunneled links); on local hosts it merely trades
+        # host/device overlap for one dispatch.  Used by the driver's
+        # per-epoch val.
+        all_b = list(batch_iter)
+        if not all_b:
+            return dict(mp=0, mr=0, map50=0, map=0, fitness=0,
+                        speed=(0, 0, 0))
         t0 = time.perf_counter()
-        x = jnp.asarray(ims)
-        if _in_sharding is not None:
-            x = jax.device_put(x, _in_sharding)
+        xs = np.stack([b[0] for b in all_b])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            xs = jax.device_put(
+                xs, NamedSharding(mesh, PartitionSpec(None, "data"))
+            )
+        else:
+            xs = jnp.asarray(xs)
         t1 = time.perf_counter()
-        pred = forward(x)
-        pred.block_until_ready()
+        outs, valids = jax.jit(
+            lambda a: jax.lax.scan(lambda c, x: (c, _fused_body(x)), None, a)[1]
+        )(xs)
+        outs = np.asarray(outs)
+        valids = np.asarray(valids)
         t2 = time.perf_counter()
-        out, valid = nms(pred)
-        out = np.asarray(out)
-        valid = np.asarray(valid)
-        t3 = time.perf_counter()
         dt[0] += t1 - t0
         dt[1] += t2 - t1
-        dt[2] += t3 - t2
+        results_iter = (
+            (b[0], b[1], b[2], b[3], b[4], outs[k], valids[k])
+            for k, b in enumerate(all_b)
+        )
+    else:
+        def _per_batch():
+            for ims, labels, masks, n_real, idxs in batch_iter:
+                t0 = time.perf_counter()
+                x = jnp.asarray(ims)
+                if _in_sharding is not None:
+                    x = jax.device_put(x, _in_sharding)
+                t1 = time.perf_counter()
+                if fused is not None:
+                    out, valid = fused(x)
+                    out = np.asarray(out)
+                    valid = np.asarray(valid)
+                    t2 = t3 = time.perf_counter()
+                else:
+                    pred = forward(x)
+                    pred.block_until_ready()
+                    t2 = time.perf_counter()
+                    out, valid = nms(pred)
+                    out = np.asarray(out)
+                    valid = np.asarray(valid)
+                    t3 = time.perf_counter()
+                dt[0] += t1 - t0
+                dt[1] += t2 - t1
+                dt[2] += t3 - t2
+                yield ims, labels, masks, n_real, idxs, out, valid
 
+        results_iter = _per_batch()
+
+    for ims, labels, masks, n_real, idxs, out, valid in results_iter:
         # only the first n_real rows are real images; the zero-padded tail
         # must not contribute detections (false positives) to the metrics
         for si in range(n_real):

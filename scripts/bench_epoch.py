@@ -97,10 +97,19 @@ def main():
     print(f"dataset: {N_IMAGES}+{N_VAL} images at {IMGSZ}px "
           f"({time.time()-t0:.0f}s to generate)", flush=True)
 
-    starts, ends = [], []
+    starts, ends, last_batch = [], [], []
     cbs = Callbacks()
+
+    def _start(*a, **k):
+        starts.append(time.time())
+        last_batch.append(time.time())
+
+    cbs.register_action("on_train_epoch_start", "t", _start)
+    # last on_train_batch_end of the epoch marks the train-phase end; the
+    # remainder to on_model_save is val + logging + checkpointing
     cbs.register_action(
-        "on_train_epoch_start", "t", lambda *a, **k: starts.append(time.time())
+        "on_train_batch_end", "t",
+        lambda *a, **k: last_batch.__setitem__(-1, time.time()),
     )
     # on_model_save fires after val + logging + checkpointing — the full
     # epoch composition the anchor's 823.6 s/epoch includes
@@ -143,6 +152,10 @@ def main():
         "epoch_imgs_per_sec": round(imgs_per_sec, 2),
         "first_epoch_s_incl_compile": round(durs[0], 1),
         "all_epoch_s": [round(d, 1) for d in durs],
+        "train_phase_s": [round(lb - s, 1)
+                          for s, lb in zip(starts, last_batch)],
+        "val_ckpt_phase_s": [round(e - lb, 1)
+                             for lb, e in zip(last_batch, ends)],
     }), flush=True)
 
 

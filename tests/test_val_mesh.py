@@ -59,3 +59,31 @@ def test_val_mesh_metrics_identical(small_ds):
     # a random-init model at conf 0.001 must actually produce detections —
     # otherwise this parity check would be vacuous
     assert r1["map50"] >= 0.0 and r1["fitness"] is not None
+
+
+def test_val_fused_post_identical(small_ds):
+    """fuse_post=True (forward+NMS one dispatch per batch, the driver's
+    per-epoch val path) must not change any metric, with and without a
+    mesh."""
+    model = build_model("resnet10.yaml", nc=2)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=64)
+
+    base = val_mod.run(model, variables, None, imgsz=64, batch_size=8,
+                       dataset=small_ds, workers=0)
+    fused = val_mod.run(model, variables, None, imgsz=64, batch_size=8,
+                        dataset=small_ds, workers=0, fuse_post=True)
+    chained = val_mod.run(model, variables, None, imgsz=64, batch_size=8,
+                          dataset=small_ds, workers=0, fuse_post=True,
+                          chain_batches=True)
+    mesh = make_mesh(jax.devices()[:8])
+    fused8 = val_mod.run(model, variables, None, imgsz=64, batch_size=8,
+                         dataset=small_ds, workers=0, mesh=mesh,
+                         fuse_post=True)
+    chained8 = val_mod.run(model, variables, None, imgsz=64, batch_size=8,
+                           dataset=small_ds, workers=0, mesh=mesh,
+                           fuse_post=True, chain_batches=True)
+    for k in ("mp", "mr", "map50", "map", "fitness"):
+        assert base[k] == pytest.approx(fused[k], rel=1e-6, abs=1e-9), k
+        assert base[k] == pytest.approx(chained[k], rel=1e-6, abs=1e-9), k
+        assert base[k] == pytest.approx(fused8[k], rel=1e-6, abs=1e-9), k
+        assert base[k] == pytest.approx(chained8[k], rel=1e-6, abs=1e-9), k
