@@ -245,8 +245,205 @@ def mosaic4(images, labels, masks, key):
     return jax.vmap(one)(jnp.arange(b))
 
 
+# --- fast (roofline-friendly) pipeline --------------------------------------
+#
+# The generic building blocks above are correct but slow on TPU: mosaic4's
+# vmapped dynamic_update_slice lowers to scatter (369 ms/16-batch measured
+# on v5e), hsv's jnp.choose to gathers (63 ms), and the gather-based warp
+# costs 78 ms — together they out-cost the train step itself
+# (scripts/bench_device_augment.py).  The fast path below expresses the
+# same augmentation family in ops XLA maps well:
+#   * mosaic = STATIC 2x2 concat (pure data movement); the reference's
+#     random mosaic center (utils/datasets.py:681-750) folds into the next
+#     stage's random translate — NOTE deviation: same family, slightly
+#     different joint distribution
+#   * scale+translate resample via jax.image.scale_and_translate (two 1-D
+#     resize matmuls on the MXU) replacing the per-pixel gather warp —
+#     exact for the rotation/shear-free default hyps; nonzero
+#     degrees/shear/perspective falls back to the generic warp
+#   * branchless hue-wheel hsv<->rgb (no jnp.choose)
+
+
+def mosaic4_grid(images, labels, masks, key):
+    """Static 2x2 stitch of image i with 3 random batch partners.
+    Returns ([B, 2H, 2W, 3] canvas, canvas-normalized labels [B, 4M, 5],
+    masks [B, 4M])."""
+    b = images.shape[0]
+    partners = jax.random.randint(key, (b, 3), 0, b)
+    idx = jnp.concatenate([jnp.arange(b)[:, None], partners], 1)  # [B, 4]
+    quads = images[idx]  # [B, 4, H, W, 3]
+    top = jnp.concatenate([quads[:, 0], quads[:, 1]], 2)
+    bot = jnp.concatenate([quads[:, 2], quads[:, 3]], 2)
+    canvas = jnp.concatenate([top, bot], 1)
+    lq = labels[idx]  # [B, 4, M, 5]
+    mq = masks[idx]
+    off = jnp.asarray(
+        [[0.0, 0.0], [0.5, 0.0], [0.0, 0.5], [0.5, 0.5]], jnp.float32
+    )  # (ox, oy) per quadrant, canvas-normalized
+    new_l = jnp.stack(
+        [
+            lq[..., 0],
+            lq[..., 1] / 2 + off[None, :, None, 0],
+            lq[..., 2] / 2 + off[None, :, None, 1],
+            lq[..., 3] / 2,
+            lq[..., 4] / 2,
+        ],
+        -1,
+    )
+    m = lq.shape[2]
+    new_l = new_l.reshape(b, 4 * m, 5)
+    new_m = mq.reshape(b, 4 * m)
+    return canvas, jnp.where(new_m[..., None], new_l, 0.0), new_m
+
+
+def _resample_core(canvas, labels, masks, s, tx, ty, flip, out_hw,
+                   fill=114.0 / 255.0):
+    """Per-image scale+translate(+flip) resample [B,Hs,Ws,3] -> [B,H,W,3]
+    as two batched tent-weight einsums (dense separable bilinear — pure
+    MXU work, no gathers/scatters; vmapped scale_and_translate measured
+    351 ms/16-batch on v5e, this form ~10 ms), labels through the same
+    linear map, border filled with YOLO grey via the src-fill linearity
+    trick.
+
+    Map (index coords): src = (dst - t)/s + src_center, i.e. the source
+    center lands at t with zoom s — the composition the generic path
+    expresses as resize(2x->1x) then affine about the center."""
+    h, w = out_hw
+    hs, ws = canvas.shape[1:3]
+    cy, cx = hs / 2.0, ws / 2.0
+
+    oy = jnp.arange(h, dtype=jnp.float32)
+    ox = jnp.arange(w, dtype=jnp.float32)
+    # horizontal flip folds into the sample positions for free
+    ox_eff = jnp.where(flip[:, None], (w - 1.0) - ox[None, :], ox[None, :])
+    uy = (oy[None, :] - ty[:, None]) / s[:, None] + cy  # [B, h]
+    ux = (ox_eff - tx[:, None]) / s[:, None] + cx       # [B, w]
+    iy = jnp.arange(hs, dtype=jnp.float32)
+    ix = jnp.arange(ws, dtype=jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy[:, :, None] - iy))  # [B, h, Hs]
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux[:, :, None] - ix))  # [B, w, Ws]
+    # rows whose tent mass leaves the source lose weight; the missing mass
+    # times `fill` is restored by resampling (src - fill) and adding fill
+    # back — exactly map_coordinates(order=1, constant, cval=fill)
+    src = canvas - fill
+    # default matmul precision: bf16 inputs / fp32 accumulation on TPU —
+    # ample for 8-bit image data (the reference's cv2 pipeline is uint8),
+    # and 5.6x faster than Precision.HIGHEST on v5e (304.9 -> 54.3 ms,
+    # scripts/probe_resample_forms.py); CPU (tests) is exact fp32 either way
+    tmp = jnp.einsum("boi,biwc->bowc", wy, src)
+    out = jnp.einsum("bpj,bojc->bopc", wx, tmp) + fill
+
+    # labels: canvas-normalized -> output px through the same linear map
+    sx = labels[..., 1] * ws
+    sy = labels[..., 2] * hs
+    bw = labels[..., 3] * ws * s[:, None]
+    bh = labels[..., 4] * hs * s[:, None]
+    ox = s[:, None] * (sx - cx) + tx[:, None]
+    oy = s[:, None] * (sy - cy) + ty[:, None]
+    ox = jnp.where(flip[:, None], w - ox, ox)
+    x1 = jnp.clip(ox - bw / 2, 0, w)
+    x2 = jnp.clip(ox + bw / 2, 0, w)
+    y1 = jnp.clip(oy - bh / 2, 0, h)
+    y2 = jnp.clip(oy + bh / 2, 0, h)
+    nw, nh = x2 - x1, y2 - y1
+    ok = masks & (nw > 2) & (nh > 2) & (nw / (nh + 1e-9) < 20) & (
+        nh / (nw + 1e-9) < 20
+    )
+    new_l = jnp.stack(
+        [
+            labels[..., 0],
+            (x1 + x2) / 2 / w,
+            (y1 + y2) / 2 / h,
+            nw / w,
+            nh / h,
+        ],
+        -1,
+    )
+    return out, jnp.where(ok[..., None], new_l, 0.0), ok
+
+
+def scale_translate_flip(canvas, labels, masks, key, out_hw,
+                         translate=0.1, scale=0.5, fliplr=0.5):
+    """Random scale/translate/flip resample (the degrees=shear=0 fast path
+    of random_perspective + fliplr, fused into one resample)."""
+    h, w = out_hw
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    b = canvas.shape[0]
+    s = jax.random.uniform(k1, (b,), minval=1 - scale, maxval=1 + scale)
+    tx = jax.random.uniform(
+        k2, (b,), minval=(0.5 - translate) * w, maxval=(0.5 + translate) * w
+    )
+    ty = jax.random.uniform(
+        k3, (b,), minval=(0.5 - translate) * h, maxval=(0.5 + translate) * h
+    )
+    flip = jax.random.bernoulli(k4, fliplr, (b,))
+    return _resample_core(canvas, labels, masks, s, tx, ty, flip, out_hw)
+
+
+def random_hsv_fast(images, key, hgain=0.015, sgain=0.7, vgain=0.4):
+    """Branchless HSV jitter: same math as random_hsv but hue-wheel
+    formulas instead of jnp.choose (select chains fuse; choose gathers)."""
+    b = images.shape[0]
+    r = jax.random.uniform(key, (b, 3), minval=-1.0, maxval=1.0) * jnp.asarray(
+        [hgain, sgain, vgain]
+    ) + 1.0
+    rc, gc, bc = images[..., 0], images[..., 1], images[..., 2]
+    maxc = jnp.maximum(jnp.maximum(rc, gc), bc)
+    minc = jnp.minimum(jnp.minimum(rc, gc), bc)
+    d = maxc - minc
+    d_safe = jnp.where(d == 0, 1.0, d)
+    hh = jnp.where(
+        maxc == rc,
+        ((gc - bc) / d_safe) % 6.0,
+        jnp.where(maxc == gc, (bc - rc) / d_safe + 2.0,
+                  (rc - gc) / d_safe + 4.0),
+    )
+    hh = jnp.where(d == 0, 0.0, hh) / 6.0
+    ss = jnp.where(maxc > 0, d / (maxc + 1e-12), 0.0)
+    vv = maxc
+    hh = (hh * r[:, None, None, 0]) % 1.0
+    ss = jnp.clip(ss * r[:, None, None, 1], 0, 1)
+    vv = jnp.clip(vv * r[:, None, None, 2], 0, 1)
+
+    def chan(n):
+        k = (n + hh * 6.0) % 6.0
+        return vv - vv * ss * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([chan(5.0), chan(3.0), chan(1.0)], -1)
+
+
 def augment_batch(images, labels, masks, key, hyp: Dict):
-    """Full device augmentation pipeline: mosaic -> affine -> HSV -> flip."""
+    """Full device augmentation pipeline: mosaic -> geometry -> HSV -> flip
+    (fast formulations; generic gather-warp fallback when rotation/shear/
+    perspective hyps are nonzero)."""
+    h, w = images.shape[1:3]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    fast_geom = (
+        float(hyp.get("degrees", 0.0)) == 0.0
+        and float(hyp.get("shear", 0.0)) == 0.0
+        and float(hyp.get("perspective", 0.0)) == 0.0
+    )
+    if fast_geom:
+        if hyp.get("mosaic", 0.0) > 0:
+            canvas, labels, masks = mosaic4_grid(images, labels, masks, k1)
+        else:
+            canvas = images
+        images, labels, masks = scale_translate_flip(
+            canvas, labels, masks, k2, (h, w),
+            translate=float(hyp.get("translate", 0.1)),
+            scale=float(hyp.get("scale", 0.5)),
+            fliplr=float(hyp.get("fliplr", 0.5)),
+        )
+        images = random_hsv_fast(
+            images, k3, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7),
+            hyp.get("hsv_v", 0.4),
+        )
+        return jnp.clip(images, 0, 1), labels, masks
+    return _augment_batch_generic(images, labels, masks, key, hyp)
+
+
+def _augment_batch_generic(images, labels, masks, key, hyp: Dict):
+    """Generic pipeline: mosaic -> gather warp -> HSV -> flip."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
     if hyp.get("mosaic", 0.0) > 0:
         images, labels, masks = mosaic4(images, labels, masks, k1)
