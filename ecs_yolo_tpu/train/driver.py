@@ -9,6 +9,7 @@ checkpointing is orbax.
 
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -340,6 +341,7 @@ def train(
         size_buckets = [imgsz]
 
     stopper = EarlyStopping(patience)
+    val_jit_cache: Dict = {}  # one compiled val executable reused per epoch
     best_fitness = 0.0
     start_epoch = 0
     history = []
@@ -418,6 +420,8 @@ def train(
         mloss = np.zeros(3)
         nb = 0
         chunk: list = []
+        n_disp = 0  # batches dispatched this epoch (keys; nb = accounted)
+        pending_items: list = []
         chunk_s = None
         if multi_fn is not None and mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -432,7 +436,7 @@ def train(
             callbacks.run("on_train_batch_end")
 
         def _one_step(batch_np):
-            nonlocal state
+            nonlocal state, n_disp
             batch = tuple(
                 multihost.to_global(data_s, np.asarray(a)) for a in batch_np
             )
@@ -442,14 +446,19 @@ def train(
                 # whenever p>0 (default p=1.0 — identical there)
                 batch = aug_fn(
                     *batch,
-                    jax.random.fold_in(aug_key, epoch * steps_per_epoch + nb),
+                    jax.random.fold_in(
+                        aug_key, epoch * steps_per_epoch + n_disp
+                    ),
                     mosaic_on=train_ds.hyp.get("mosaic", 1.0) > 0,
                 )
+            n_disp += 1
             state, metrics = step_fn(state, *batch)
             _account(np.asarray(metrics["items"])[:3])
 
+        prof_chunk = os.environ.get("ECS_PROFILE_CHUNK", "0") == "1"
+
         def _flush_chunk():
-            nonlocal state, chunk
+            nonlocal state, chunk, n_disp
             if not chunk:
                 return
             if len(chunk) < steps_per_call:
@@ -459,21 +468,36 @@ def train(
                     _one_step(b)
                 chunk = []
                 return
+            tp0 = time.time()
             stacked = [
                 np.stack([c[j] for c in chunk]) for j in range(3)
             ]
+            tp1 = time.time()
             if chunk_s is not None:
                 stacked = [jax.device_put(a, chunk_s) for a in stacked]
+            # n_disp (batches dispatched), NOT nb (batches accounted):
+            # accounting is deferred, so nb lags and would repeat keys
             keys = jax.random.split(
-                jax.random.fold_in(aug_key, epoch * steps_per_epoch + nb),
+                jax.random.fold_in(
+                    aug_key, epoch * steps_per_epoch + n_disp
+                ),
                 steps_per_call,
             )
+            n_disp += steps_per_call
             state, items_k = multi_fn(
                 state, *stacked, keys,
                 mosaic_on=train_ds.hyp.get("mosaic", 1.0) > 0,
             )
-            for row in np.asarray(items_k)[:, :3]:
-                _account(row)
+            # defer the readback: jax dispatch is async, so NOT forcing
+            # items here lets chunk N+1's host stack/upload overlap chunk
+            # N's device execution; the pending list drains after the loop
+            pending_items.append(items_k)
+            if prof_chunk:
+                LOGGER.info(
+                    f"chunk: stack {tp1 - tp0:.2f}s "
+                    f"dispatch {time.time() - tp1:.2f}s "
+                    f"({steps_per_call} steps)"
+                )
             chunk = []
 
         for batch_np in train_ds.batches(
@@ -489,6 +513,9 @@ def train(
                 continue
             _one_step(batch_np)
         _flush_chunk()
+        for items_k in pending_items:  # drain the deferred readbacks
+            for row in np.asarray(items_k)[:, :3]:
+                _account(row)
 
         results = dict(mp=0.0, mr=0.0, map50=0.0, map=0.0, fitness=0.0)
         # rank-0-only val, like the reference (train.py:630-641); the
@@ -505,12 +532,16 @@ def train(
             # this, 8-chip training idles 7 chips during every val pass
             val_mesh = mesh if (world == 1 and batch_size % n_dev == 0) \
                 else None
+            tv0 = time.time()
             results = val_mod.run(
                 model, eval_vars, None, imgsz=imgsz,
                 batch_size=batch_size, dataset=val_ds, mesh=val_mesh,
                 fuse_post=True,  # forward+NMS one dispatch per batch
                 chain_batches=True,  # ...and the whole pass as one scan
+                jit_cache=val_jit_cache,  # compile once, reuse every epoch
             )
+            if prof_chunk:
+                LOGGER.info(f"val: {time.time() - tv0:.2f}s")
         fit = multihost.broadcast_scalar(results["fitness"])
         history.append(results)
         callbacks.run("on_fit_epoch_end")
@@ -541,19 +572,28 @@ def train(
                 step=epoch,
             )
 
+        tc0 = time.time()
+        # one device->host fetch shared by all of this epoch's saves (best/
+        # last/periodic would otherwise each re-download the full state —
+        # expensive through a remote device link)
+        state_h = jax.device_get(state) if main else None
         if fit >= best_fitness:
             best_fitness = fit
             if main:
                 save_checkpoint(
-                    w / "best", state, model.cfg, epoch, best_fitness
+                    w / "best", state_h, model.cfg, epoch, best_fitness
                 )
         if main:
             # rank-0-only checkpointing, like the reference (train.py:657)
-            save_checkpoint(w / "last", state, model.cfg, epoch, best_fitness)
+            save_checkpoint(w / "last", state_h, model.cfg, epoch,
+                            best_fitness)
             if save_period > 0 and epoch % save_period == 0:
                 save_checkpoint(
-                    w / f"epoch{epoch}", state, model.cfg, epoch, best_fitness
+                    w / f"epoch{epoch}", state_h, model.cfg, epoch,
+                    best_fitness
                 )
+        if prof_chunk:
+            LOGGER.info(f"ckpt: {time.time() - tc0:.2f}s")
         callbacks.run("on_model_save")
         LOGGER.info(
             f"epoch {epoch}: loss={mloss.round(4).tolist()} "

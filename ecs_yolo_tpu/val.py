@@ -46,6 +46,7 @@ def run(
     mesh=None,
     fuse_post: bool = False,
     chain_batches: bool = False,
+    jit_cache: Optional[Dict] = None,
 ) -> Dict:
     """Returns {mp, mr, map50, map, fitness, speed, per_class}; with
     ``save_json`` + ``anno_json`` also a ``coco`` sub-dict from COCOeval.
@@ -83,12 +84,17 @@ def run(
             variables = jax.device_put(variables, replicated(mesh))
             _in_sharding = batch_sharding(mesh)
 
-        def forward(images):
+        # NOTE: ``vars_`` is an ARGUMENT, not a closure constant — baking
+        # the weights into the graph would make every epoch's val a fresh
+        # executable (re-trace + re-compile; ~90 s/epoch measured through
+        # the remote-compile tunnel).  As an argument the jit below is
+        # compiled once and reused across epochs via ``jit_cache``.
+        def forward(vars_, images):
             if images.dtype == jnp.uint8:
                 # uint8 transport (Dataset uint8_out): on-device divide
                 # (<=1 ulp vs the host path), 4x less host->device traffic
                 images = images.astype(jnp.float32) / 255.0
-            out = model.module.apply(variables, images, training=False)
+            out = model.module.apply(vars_, images, training=False)
             if model.head_name in ("v10Detect", "ASFF_v10Detect"):
                 return out.one2one[0]
             pred = out[0]
@@ -133,8 +139,17 @@ def run(
             has_obj=has_obj,
         )
 
-    def _fused_body(x):
-        return _nms_body(forward(x))
+    def _cached_jit(kind, builder):
+        """One jit wrapper per (kind, thresholds) reused across epochs —
+        the executable cache inside the wrapper then serves every epoch
+        (shape-specialized as needed) instead of re-compiling."""
+        if jit_cache is None:
+            return jax.jit(builder)
+        key = (kind, model.head_name, conf_thres, iou_thres, max_det,
+               mesh is not None)
+        if key not in jit_cache:
+            jit_cache[key] = jax.jit(builder)
+        return jit_cache[key]
 
     fused = None
     if (fuse_post or chain_batches) and variables is not None:
@@ -142,9 +157,11 @@ def run(
         # count (the reference's val.py times them separately; the split
         # pre/inf/nms speed breakdown is preserved on the default path —
         # the fused path books the combined time under 'inference')
-        fused = jax.jit(_fused_body)
+        fused = _cached_jit("fused", lambda v, x: _nms_body(forward(v, x)))
+    elif variables is not None:
+        fwd_jit = _cached_jit("forward", forward)
+        nms = jax.jit(_nms_body)
     else:
-        forward = jax.jit(forward) if variables is not None else forward
         nms = jax.jit(_nms_body)
 
     if chain_batches and fused is not None:
@@ -168,9 +185,13 @@ def run(
         else:
             xs = jnp.asarray(xs)
         t1 = time.perf_counter()
-        outs, valids = jax.jit(
-            lambda a: jax.lax.scan(lambda c, x: (c, _fused_body(x)), None, a)[1]
-        )(xs)
+        scan_call = _cached_jit(
+            "chain",
+            lambda v, a: jax.lax.scan(
+                lambda c, x: (c, _nms_body(forward(v, x))), None, a
+            )[1],
+        )
+        outs, valids = scan_call(variables, xs)
         outs = np.asarray(outs)
         valids = np.asarray(valids)
         t2 = time.perf_counter()
@@ -189,12 +210,13 @@ def run(
                     x = jax.device_put(x, _in_sharding)
                 t1 = time.perf_counter()
                 if fused is not None:
-                    out, valid = fused(x)
+                    out, valid = fused(variables, x)
                     out = np.asarray(out)
                     valid = np.asarray(valid)
                     t2 = t3 = time.perf_counter()
                 else:
-                    pred = forward(x)
+                    pred = (fwd_jit(variables, x) if variables is not None
+                            else forward(x))
                     pred.block_until_ready()
                     t2 = time.perf_counter()
                     out, valid = nms(pred)
